@@ -1,0 +1,275 @@
+"""Micro-batch replay loop (X1, X8) — the engine's main lifecycle.
+
+Replaces DataX's JobContainer lifecycle + task-group thread machinery
+(†core/job/JobContainer.java, †core/taskgroup/TaskGroupContainer.java,
+SURVEY.md §2.1 C2–C7, §3.1): the whole Reader→Channel→Writer pipeline
+is one declarative DataFrame lineage per micro-batch; parallelism is
+Spark's scheduler; flow control (†Channel.statPush throttling, C7) is
+a bounded LSN range Δ per batch.
+
+Per batch (SURVEY.md §3.4):
+  1. W = table watermark (from the committed snapshot chain)     [X5]
+  2. events = changelog.filter(W < lsn ≤ W+Δ)                    [X1]
+     — Catalyst pushes the range predicate to the parquet scan
+  3. split at DDL boundaries; ALTER TABLE per DDL event          [X4]
+  4. per sub-range: max-LSN dedup (map-side-combined max_by)     [X2]
+  5. normalize content + sha256, materialize evolved columns     [X7]
+  6. salted repartition when a repo exceeds the hot threshold    [X6]
+  7. MERGE into the lake table (dirty buckets only)              [X3]
+  8. snapshot commit = atomic pointer swap; manifest is derived  [X5]
+  9. emit lineage + events/sec metrics (JSON line per batch)     [X8]
+
+Crash-resume: every step before 8 is side-effect-free on committed
+state; re-running a batch whose lsn_hi ≤ watermark is a no-op
+(manifest.already_applied), so replay from any checkpoint converges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dx import manifest as mf
+from dx import skew
+from dx.dedup import dedup_max_lsn
+from dx.lake import KEY, LakeTable
+from dx.transforms import content_sha, normalize_content, normalize_content_udf, sha256_pandas
+
+
+def seed_lake(spark: SparkSession, table: LakeTable, seed_df) -> str:
+    """Load the F1 seed state: normalize content, stamp sha + lsn=0."""
+    import pandas as pd
+
+    if isinstance(seed_df, pd.DataFrame):
+        seed_df = spark.createDataFrame(seed_df)
+    data = seed_df.select(
+        "repo", "path", "commit", "lang",
+        normalize_content(F.col("content")).alias("content"),
+    ).withColumn("_content_sha", F.sha2(F.col("content"), 256)).withColumn(
+        "_lsn", F.lit(0).cast("long")
+    )
+    return table.seed(data)
+
+
+def changelog_from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """Typed Spark frame from a generator pandas changelog (tests/bench)."""
+    from dx.generator import CHANGELOG_DDL
+
+    records = pdf.to_dict("records")
+    for r in records:
+        ts = r.get("event_ts")
+        if ts is not None and getattr(ts, "tzinfo", None) is not None:
+            r["event_ts"] = ts.tz_convert("UTC").tz_localize(None).to_pydatetime()
+    return spark.createDataFrame(records, schema=CHANGELOG_DDL)
+
+
+@dataclass
+class BatchMetrics:
+    batch_id: str
+    lsn_lo: int
+    lsn_hi: int
+    events: int
+    applied_rows: int
+    snapshot_id: str | None
+    ddl_applied: int
+    seconds: float
+    events_per_sec: float
+    skipped: bool = False
+    lineage: list[dict] = field(default_factory=list)
+
+
+class ReplayEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        changelog: DataFrame,
+        delta: int = 10_000,
+        dedup_strategy: str = "maxby",
+        salt_threshold: float = 0.10,
+        n_salts: int = 16,
+        use_pandas_udfs: bool = False,
+        broadcast_keys: bool = True,
+        metrics_path: str | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.changelog = changelog
+        self.delta = delta
+        self.dedup_strategy = dedup_strategy
+        self.salt_threshold = salt_threshold
+        self.n_salts = n_salts
+        self.use_pandas_udfs = use_pandas_udfs
+        self.broadcast_keys = broadcast_keys
+        self.metrics_path = metrics_path
+        self._max_lsn: int | None = None
+
+    # ----------------------------------------------------------------- utils
+    def max_lsn(self) -> int:
+        if self._max_lsn is None:
+            self._max_lsn = (
+                self.changelog.agg(F.max("lsn").alias("m")).collect()[0]["m"] or 0
+            )
+        return self._max_lsn
+
+    def _emit(self, m: BatchMetrics) -> None:
+        line = json.dumps(m.__dict__)
+        if self.metrics_path:
+            os.makedirs(os.path.dirname(self.metrics_path) or ".", exist_ok=True)
+            with open(self.metrics_path, "a") as f:
+                f.write(line + "\n")
+
+    # ------------------------------------------------------------ transforms
+    def _prepare_changes(self, events: DataFrame) -> DataFrame:
+        """Dedup + vectorized payload transforms + evolved-column
+        materialization → the exact frame lake.merge expects."""
+        deduped = dedup_max_lsn(events, strategy=self.dedup_strategy)
+        if self.use_pandas_udfs:
+            norm = normalize_content_udf(F.col("content"))
+            sha = sha256_pandas(norm)
+        else:
+            norm = normalize_content(F.col("content"))
+            sha = content_sha(F.col("content"))
+        cols = self.table.columns()
+        base = {"repo", "path", "commit", "lang"}
+        sel = []
+        for c in cols:
+            if c.name == "content":
+                sel.append(norm.alias("content"))
+            elif c.name in base:
+                sel.append(F.col(c.name))
+            else:  # evolved column: value travels in the extra map
+                sel.append(F.col("extra").getItem(c.name).cast(c.type).alias(c.name))
+        sel += [
+            sha.alias("_content_sha"),
+            F.col("lsn").alias("_lsn"),
+            F.col("op"),
+        ]
+        changes = deduped.select(*sel)
+        hot = skew.hot_repos(deduped, self.salt_threshold)
+        if hot:
+            salted = skew.with_salt(changes, hot, self.n_salts)
+            changes = salted.repartition(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                F.col("repo"), F.col("__salt"),
+            ).drop("__salt")
+        return changes
+
+    # ------------------------------------------------------------ run loop
+    def run_batch(self, lo: int, hi: int, crash_after_commit: bool = False) -> list[BatchMetrics]:
+        """Apply events with lsn ∈ (lo, hi], splitting at DDL boundaries."""
+        out: list[BatchMetrics] = []
+        window = self.changelog.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        ddls = sorted(
+            window.filter(F.col("op") == "DDL")
+            .select("lsn", "ddl_action", "ddl_column", "ddl_type")
+            .collect(),
+            key=lambda r: r["lsn"],
+        )
+        bounds = [lo] + [d["lsn"] for d in ddls] + [hi]
+        segments: list[tuple[int, int]] = []
+        for i in range(len(bounds) - 1):
+            a = bounds[i]
+            b = bounds[i + 1] - 1 if i + 1 <= len(ddls) else bounds[i + 1]
+            segments.append((a, b))
+        # segments[i] covers (a, b]; ddls[i] sits between segment i and i+1
+        for i, (a, b) in enumerate(segments):
+            if b > a:
+                out.append(self._apply_segment(a, b, window, crash_after_commit))
+            if i < len(ddls):
+                out.append(self._apply_ddl(ddls[i]))
+        return out
+
+    def _apply_ddl(self, d) -> BatchMetrics:
+        t0 = time.monotonic()
+        batch_id = f"ddl{d['lsn']}"
+        if mf.already_applied(self.table, batch_id, d["lsn"]):
+            m = BatchMetrics(batch_id, d["lsn"], d["lsn"], 1, 0, None, 0, 0.0, 0.0, skipped=True)
+        else:
+            sid = self.table.alter(
+                d["ddl_action"], d["ddl_column"], d["ddl_type"] or "string",
+                batch_id=batch_id, at_lsn=d["lsn"],
+            )
+            dt = time.monotonic() - t0
+            m = BatchMetrics(batch_id, d["lsn"], d["lsn"], 1, 0, sid, 1, dt, 0.0)
+        self._emit(m)
+        return m
+
+    def _apply_segment(self, lo: int, hi: int, window: DataFrame,
+                       crash_after_commit: bool = False) -> BatchMetrics:
+        t0 = time.monotonic()
+        batch_id = f"b{lo + 1}-{hi}"
+        if mf.already_applied(self.table, batch_id, hi):
+            m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, None, 0, 0.0, 0.0, skipped=True)
+            self._emit(m)
+            return m
+        events = window.filter(
+            (F.col("lsn") > lo) & (F.col("lsn") <= hi) & (F.col("op") != "DDL")
+        )
+        lineage_rows = [
+            {
+                "source_partition": int(r["source_partition"]),
+                "lsn_lo": int(r["lsn_lo"]),
+                "lsn_hi": int(r["lsn_hi"]),
+                "row_count": int(r["row_count"]),
+            }
+            for r in events.groupBy("source_partition")
+            .agg(
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+                F.count("*").alias("row_count"),
+            )
+            .collect()
+        ]
+        n_events = sum(r["row_count"] for r in lineage_rows)
+        if n_events == 0:
+            sid = self.table.checkpoint_watermark(batch_id, hi)
+            dt = time.monotonic() - t0
+            m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
+            self._emit(m)
+            return m
+        changes = self._prepare_changes(events)
+        sid = self.table.merge(
+            changes,
+            batch_id=batch_id,
+            watermark_hi=hi,
+            lineage=lineage_rows,
+            broadcast_keys=self.broadcast_keys,
+            crash_after_commit=crash_after_commit,
+        )
+        dt = time.monotonic() - t0
+        applied = self.table.meta(refresh=False).get("merge_stats", {}).get("change_rows", 0)
+        m = BatchMetrics(
+            batch_id, lo + 1, hi, int(n_events), int(applied), sid, 0, dt,
+            round(n_events / dt, 2) if dt > 0 else 0.0, lineage=lineage_rows,
+        )
+        self._emit(m)
+        return m
+
+    def run(self, max_batches: int | None = None,
+            crash_after_batch: int | None = None) -> list[BatchMetrics]:
+        """Replay from the table's current watermark to the changelog head.
+
+        ``crash_after_batch=k`` injects a crash after the k-th batch's
+        commit point (T3b); a fresh engine over the same table resumes
+        and converges.
+        """
+        out: list[BatchMetrics] = []
+        head = self.max_lsn()
+        n = 0
+        while True:
+            w = self.table.watermark()
+            if w >= head:
+                break
+            if max_batches is not None and n >= max_batches:
+                break
+            hi = min(w + self.delta, head)
+            crash = crash_after_batch is not None and n == crash_after_batch
+            out.extend(self.run_batch(w, hi, crash_after_commit=crash))
+            n += 1
+        return out

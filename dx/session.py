@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Replaces DataX engine bootstrap (†core/Engine.java, SURVEY.md §2.1 C1):
+there is no channel/thread machinery to configure — parallelism is
+Spark's task scheduler + shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dx-cdc",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the CDC replay workload.
+
+    Defaults are chosen for correctness-at-scale, not just local runs:
+    - AQE on (runtime coalesce + skew-join backstop for the MERGE join)
+    - Arrow on (all payload transforms are vectorized pandas UDFs)
+    - shuffle partitions sized to cores locally; on a real cluster the
+      submitter overrides via --conf (engine never hardcodes 200).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("DX_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 2 * cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # snappy parquet, vectorized reader are Spark defaults; keep them.
+        .config("spark.driver.memory", os.environ.get("DX_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+"""Hot-repo detection + salted repartition (X6, BASELINE.json:6).
+
+ABSENT in the reference (SURVEY.md §2.5 R4: a hot DataX table/range
+simply runs long). Here: repos whose event share exceeds a threshold
+get a synthetic salt ``pmod(hash(path), n_salts)`` so a pre-MERGE
+``repartition(repo, __salt)`` spreads one hot repo over ``n_salts``
+reducers. AQE skew-join (enabled in session.py) is the built-in
+backstop for the MERGE join itself.
+
+Detection uses a cheap partial-aggregated count (one tiny shuffle of
+|repos| rows), not a scan-and-collect of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_repos(df: DataFrame, frac_threshold: float = 0.10, repo_col: str = "repo") -> list[str]:
+    """Repos holding more than ``frac_threshold`` of the batch's rows.
+
+    The groupBy count is map-side combined; the collect moves only
+    per-repo counts (bounded by the repo universe, not data size).
+    """
+    counts = df.groupBy(repo_col).count()
+    total = df.count()
+    if total == 0:
+        return []
+    rows = counts.filter(F.col("count") > frac_threshold * total).collect()
+    return [r[repo_col] for r in rows]
+
+
+def with_salt(df: DataFrame, hot: list[str], n_salts: int = 16,
+              repo_col: str = "repo", path_col: str = "path") -> DataFrame:
+    """Add ``__salt``: 0 for cold repos, pmod(hash(path), n_salts) for hot."""
+    if not hot:
+        return df.withColumn("__salt", F.lit(0))
+    return df.withColumn(
+        "__salt",
+        F.when(
+            F.col(repo_col).isin(hot), F.pmod(F.hash(F.col(path_col)), F.lit(n_salts))
+        ).otherwise(F.lit(0)),
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None,
+                       frac_threshold: float = 0.10, n_salts: int = 16) -> DataFrame:
+    """Salt hot repos, repartition by (repo, __salt), drop the salt.
+
+    Used ahead of the MERGE shuffle so a Zipf-hot repo's rows land on
+    ``n_salts`` partitions instead of one (T6).
+    """
+    hot = hot_repos(df, frac_threshold)
+    salted = with_salt(df, hot, n_salts)
+    parts = [F.col("repo"), F.col("__salt")]
+    out = (
+        salted.repartition(num_partitions, *parts)
+        if num_partitions
+        else salted.repartition(*parts)
+    )
+    return out.drop("__salt")

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dx.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="dx-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.warehouse.dir": os.path.join(os.getcwd(), ".tmp", "warehouse"),
+        },
+    )
+    yield s
