@@ -143,8 +143,11 @@ class ReplayEngine:
                 sel.append(norm.alias("content"))
             elif c.name in base:
                 sel.append(F.col(c.name))
-            else:  # evolved column: value travels in the extra map
-                sel.append(F.col("extra").getItem(c.name).cast(c.type).alias(c.name))
+            else:
+                # evolved column: value travels in the extra map. try_cast =
+                # DataX dirty-record coercion semantics (†SURVEY.md §2.3 P12):
+                # malformed input → null, never a failed job.
+                sel.append(F.col("extra").getItem(c.name).try_cast(c.type).alias(c.name))
         sel += [
             sha.alias("_content_sha"),
             F.col("lsn").alias("_lsn"),

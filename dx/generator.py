@@ -157,17 +157,17 @@ def gen_changelog(
     fresh_counter = 0
 
     ddl_at = sorted(((max(1, int(s.at_frac * n_events)), s) for s in ddl_specs), key=lambda t: t[0])
-    active_cols: list[str] = []
+    active_cols: list[tuple[str, str]] = []  # (name, type)
 
     rows = []
     p_i, p_u, p_d = p_ops
     for lsn in range(1, n_events + 1):
         if ddl_at and lsn == ddl_at[0][0]:
             spec = ddl_at.pop(0)[1]
-            if spec.action == "add_column" and spec.column not in active_cols:
-                active_cols.append(spec.column)
-            elif spec.action == "drop_column" and spec.column in active_cols:
-                active_cols.remove(spec.column)
+            if spec.action == "add_column" and all(n != spec.column for n, _ in active_cols):
+                active_cols.append((spec.column, spec.type))
+            elif spec.action == "drop_column":
+                active_cols = [(n, t) for n, t in active_cols if n != spec.column]
             rows.append(
                 (lsn, (lsn - 1) // batch_size, int(rng.integers(0, n_source_partitions)),
                  "DDL", None, None, None, None, None, None,
@@ -221,7 +221,9 @@ def gen_changelog(
             st.version += 1
             st.alive = True
             ext = key[1].rsplit(".", 1)[-1]
-            extra = {c: f"{c}_val_{lsn}" for c in active_cols} or None
+            extra = {
+                c: (str(lsn) if t == "long" else f"{c}_val_{lsn}") for c, t in active_cols
+            } or None
             rows.append(
                 (lsn, (lsn - 1) // batch_size, int(rng.integers(0, n_source_partitions)),
                  op, key[0], key[1], _commit_sha(key[0], key[1], st.version),
@@ -287,7 +289,7 @@ def gen_changelog_spark(
             lsn = ver * n_keys + key_idx + 1
             last = np.concatenate([np.r_[np.zeros(v - 1, bool), True] for v in nv]) if len(nv) else np.array([], bool)
             hh = (key_idx.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(seed)) & np.uint64(0xFFFFFFFF)
-            is_del = last & ((hh.astype(np.float64) / float(1 << 32)) < delete_frac)
+            is_del = last & (ver > 1) & ((hh.astype(np.float64) / float(1 << 32)) < delete_frac)
             op = np.where(ver == 1, "I", "U").astype(object)
             op[is_del] = "D"
             repo = np.char.add("org/", np.char.add("repo", rep.astype(str)))

@@ -1,0 +1,185 @@
+"""Unit tests: dedup strategies, transforms parity, generator
+invariants, manifest derivation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dx import manifest as mf
+from dx.dedup import dedup_max_lsn
+from dx.engine import ReplayEngine, changelog_from_pandas, seed_lake
+from dx.generator import (
+    DDLSpec,
+    gen_changelog,
+    gen_changelog_spark,
+    gen_seed_table,
+)
+from dx.lake import LakeTable
+from dx.transforms import (
+    content_sha,
+    dx_digest,
+    dx_pad,
+    dx_replace,
+    dx_substr,
+    normalize_content,
+    normalize_content_py,
+    normalize_content_udf,
+    sha256_hex_py,
+    sha256_pandas,
+)
+
+# --------------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def changelog_df(spark):
+    seed_df = gen_seed_table(n_repos=3, paths_per_repo=20, seed=5)
+    pdf = gen_changelog(seed_df, n_events=800, seed=5)
+    return pdf, changelog_from_pandas(spark, pdf).filter(F.col("op") != "DDL").cache()
+
+
+def test_dedup_strategies_agree(spark, changelog_df):
+    pdf, df = changelog_df
+    a = dedup_max_lsn(df, strategy="window").orderBy("repo", "path").toPandas()
+    b = dedup_max_lsn(df, strategy="maxby").orderBy("repo", "path")
+    b = b.select(*a.columns).toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_dedup_matches_pandas(spark, changelog_df):
+    pdf, df = changelog_df
+    got = dedup_max_lsn(df).select("repo", "path", "lsn").toPandas()
+    data = pdf[pdf.op != "DDL"]
+    exp = data.loc[data.groupby(["repo", "path"])["lsn"].idxmax(), ["repo", "path", "lsn"]]
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype({"lsn": "int64"}))
+
+
+# ---------------------------------------------------------------- transforms
+
+EDGE_STRINGS = [
+    "plain",
+    "crlf\r\nline\r\n",
+    "cr\ronly",
+    "mixed\r\n\r\nλ→unicode ü 中文",
+    "",
+    None,
+]
+
+
+def test_sha256_jvm_vs_pandas_vs_python(spark):
+    df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "content string")
+    out = df.select(
+        "content",
+        content_sha(F.col("content")).alias("jvm"),
+        sha256_pandas(normalize_content_udf(F.col("content"))).alias("arrow"),
+    ).collect()
+    for r in out:
+        expected = sha256_hex_py(normalize_content_py(r["content"]))
+        assert r["jvm"] == expected, f"JVM sha mismatch on {r['content']!r}"
+        assert r["arrow"] == expected, f"Arrow sha mismatch on {r['content']!r}"
+
+
+def test_normalization_jvm_vs_python(spark):
+    df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "content string")
+    for r in df.select("content", normalize_content(F.col("content")).alias("n")).collect():
+        assert r["n"] == normalize_content_py(r["content"])
+
+
+def test_dx_transformers(spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    row = df.select(
+        dx_substr(F.col("s"), 0, 5).alias("sub"),
+        dx_pad(F.col("s"), "l", 15, "*").alias("pad"),
+        dx_replace(F.col("s"), 0, 5, "howdy").alias("rep"),
+        dx_digest(F.col("s"), "md5").alias("md5"),
+        dx_digest(F.col("s"), "sha256").alias("sha"),
+    ).collect()[0]
+    import hashlib
+
+    assert row["sub"] == "hello"
+    assert row["pad"] == "****hello world"
+    assert row["rep"] == "howdy world"
+    assert row["md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert row["sha"] == hashlib.sha256(b"hello world").hexdigest()
+
+
+# ----------------------------------------------------------------- generator
+
+def test_changelog_invariants():
+    seed_df = gen_seed_table(n_repos=3, paths_per_repo=15, seed=3)
+    pdf = gen_changelog(
+        seed_df, n_events=1_000, seed=3,
+        ddl_specs=[DDLSpec(0.5, "add_column", "c1", "string")],
+    )
+    assert pdf["lsn"].tolist() == list(range(1, 1_001))  # unique + dense
+    alive = {(r.repo, r.path) for r in seed_df.itertuples()}
+    saw_ddl = False
+    for ev in pdf.itertuples(index=False):
+        if ev.op == "DDL":
+            saw_ddl = True
+            continue
+        key = (ev.repo, ev.path)
+        if ev.op == "I":
+            assert key not in alive, f"I on live key {key} @lsn {ev.lsn}"
+            alive.add(key)
+        elif ev.op == "U":
+            assert key in alive, f"U on dead key {key} @lsn {ev.lsn}"
+        elif ev.op == "D":
+            assert key in alive, f"D on dead key {key} @lsn {ev.lsn}"
+            alive.discard(key)
+        if ev.op in ("I", "U") and saw_ddl:
+            assert ev.extra and "c1" in ev.extra
+        assert (ev.op == "D") == (ev.content is None)
+
+
+def test_generator_deterministic():
+    seed_df = gen_seed_table(n_repos=2, paths_per_repo=10, seed=9)
+    a = gen_changelog(seed_df, n_events=300, seed=9)
+    b = gen_changelog(seed_df, n_events=300, seed=9)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spark_generator_properties(spark):
+    df = gen_changelog_spark(spark, n_keys=2_000, mean_versions=3, seed=1, partitions=4).cache()
+    n = df.count()
+    assert n > 2_000
+    assert df.select("lsn").distinct().count() == n  # globally unique LSNs
+    bad = (
+        df.groupBy("repo", "path")
+        .agg(F.min("lsn").alias("lo"), F.expr("min_by(op, lsn)").alias("first_op"))
+        .filter(F.col("first_op") != "I")
+        .count()
+    )
+    assert bad == 0  # every key's first event is an insert
+    # deterministic across runs
+    h1 = df.select(F.xxhash64("lsn", "op", "repo", "path", "content").alias("h")) \
+        .agg(F.expr("bit_xor(h)")).collect()[0][0]
+    df2 = gen_changelog_spark(spark, n_keys=2_000, mean_versions=3, seed=1, partitions=8)
+    h2 = df2.select(F.xxhash64("lsn", "op", "repo", "path", "content").alias("h")) \
+        .agg(F.expr("bit_xor(h)")).collect()[0][0]
+    assert h1 == h2  # partitioning must not change the data
+    df.unpersist()
+
+
+# ------------------------------------------------------------------ manifest
+
+def test_manifest_schema_and_watermarks(spark, tmp_path):
+    seed_df = gen_seed_table(n_repos=2, paths_per_repo=15, seed=31)
+    changelog = gen_changelog(seed_df, n_events=600, seed=31)
+    table = LakeTable.create(spark, str(tmp_path / "mf"), n_buckets=8)
+    seed_lake(spark, table, seed_df)
+    ReplayEngine(spark, table, changelog_from_pandas(spark, changelog), delta=200).run()
+
+    m = mf.manifest_df(spark, table)
+    assert set(m.columns) == {
+        "batch_id", "source_partition", "lsn_lo", "lsn_hi",
+        "schema_version", "snapshot_id", "row_count", "applied_at",
+    }
+    assert m.count() > 0
+    wm = mf.per_partition_watermarks(spark, table).toPandas()
+    assert (wm["watermark"] > 0).all()
+    assert mf.already_applied(table, "b1-200", 200)
+    assert not mf.already_applied(table, "b601-800", 800)
