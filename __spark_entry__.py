@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in dx/queries.py (+ dx/pipelines/*); this file
+is the thin registry the driver imports.
 """
 
 from __future__ import annotations
@@ -15,24 +17,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC MERGE replay collapse on sf0.001 — treat
+    `events` as a changelog (event_id ≡ LSN, user_id ≡ key), dedup to
+    the latest change per key, and upsert into `customer` (the target
+    table), exactly the engine's X2+X3 pipeline shape."""
+    from dx.queries import QUERIES
+
+    return QUERIES["cdc_merge_upsert"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data pipeline ops). Each callable takes (spark, sf_dir)
+    and returns a DataFrame with oracle-matching column names."""
+    from dx.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query key. Keys absent here are
+    genuinely non-SQL-expressible ops (driver records rows-only)."""
+    from dx.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

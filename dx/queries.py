@@ -1,0 +1,593 @@
+"""Operator-level queries for the driver's DuckDB-oracle gate (T1).
+
+Each entry here is one operator from SURVEY.md §2 (CDC graft ops X1-X8,
+DataX parity ops P/R/C rows, relational categories §2.7) or a
+training-data pipeline op (dedup / similarity / text analysis /
+multimodal plumbing), expressed Spark-first over the driver's
+/root/testdata parquet tables, with an exactly-equivalent ANSI SQL
+oracle for DuckDB in ORACLE_SQL.
+
+Determinism contract with the oracle (value-hash equality):
+- no LIMIT without a total tiebreak order;
+- no floating-point *aggregation*: money sums go through
+  floor(x*100) → BIGINT cents; vector math through round(x*1000) →
+  BIGINT quantization. Per-row double arithmetic (mult, div, sqrt) is
+  IEEE-identical across engines; only accumulation order isn't — so
+  accumulate integers, never doubles.
+- every computed column aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+CENTS = lambda c: F.floor(c * 100).cast("long")  # noqa: E731 — exact money path
+
+
+# =====================================================================
+# CDC graft operators (SURVEY.md §2.8, BASELINE.json:6) modeled on the
+# `events` table: event_id ≡ LSN, user_id ≡ key, event_type ≡ op-ish.
+# =====================================================================
+
+@query(
+    "cdc_dedup_window",
+    """
+    SELECT user_id, event_id AS last_lsn, event_type AS last_type,
+           floor(value * 100)::BIGINT AS last_value_cents
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_dedup_window(spark, sf_dir):
+    """X2 max-LSN dedup, spec-literal window form (BASELINE.json:6:
+    row_number over LSN desc). One shuffle; hot keys serialize."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_lsn"),
+            F.col("event_type").alias("last_type"),
+            CENTS(F.col("value")).alias("last_value_cents"),
+        )
+    )
+
+
+@query(
+    "cdc_dedup_maxby",
+    """
+    SELECT user_id,
+           max(event_id) AS last_lsn,
+           arg_max(event_type, event_id) AS last_type,
+           floor(arg_max(value, event_id) * 100)::BIGINT AS last_value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def cdc_dedup_maxby(spark, sf_dir):
+    """X2 engine-default dedup: groupBy + max_by — hash aggregation
+    with map-side partial combine; shuffles |keys| rows, not |events|,
+    and defuses per-key skew structurally (dx/dedup.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_lsn"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        CENTS(F.max_by("value", "event_id")).alias("last_value_cents"),
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id AS c_custkey,
+             arg_max(event_type, event_id) AS last_type,
+             floor(arg_max(value, event_id) * 100)::BIGINT AS new_bal_cents,
+             max(event_id) AS src_lsn
+      FROM events GROUP BY user_id
+    ),
+    survivors AS (
+      SELECT c.c_custkey, c.c_name, floor(c.c_acctbal * 100)::BIGINT AS bal_cents,
+             0::BIGINT AS src_lsn
+      FROM customer c ANTI JOIN latest l ON c.c_custkey = l.c_custkey
+    ),
+    upserts AS (
+      SELECT l.c_custkey,
+             coalesce(c.c_name, 'new#' || l.c_custkey) AS c_name,
+             l.new_bal_cents AS bal_cents, l.src_lsn
+      FROM latest l LEFT JOIN customer c ON c.c_custkey = l.c_custkey
+      WHERE l.last_type <> 'error'
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM upserts
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """X3 MERGE INTO rewrite (SURVEY.md §7.2): upsert the latest change
+    per key into a target table; op='error' plays the DELETE role.
+    Anti-join keeps untouched rows; changes side is broadcast (a CDC
+    batch ≪ target at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    latest = ev.groupBy(F.col("user_id").alias("c_custkey")).agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        CENTS(F.max_by("value", "event_id")).alias("new_bal_cents"),
+        F.max("event_id").alias("src_lsn"),
+    )
+    survivors = cust.join(F.broadcast(latest), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name",
+        CENTS(F.col("c_acctbal")).alias("bal_cents"),
+        F.lit(0).cast("long").alias("src_lsn"),
+    )
+    upserts = (
+        latest.filter(F.col("last_type") != "error")
+        .join(cust.select("c_custkey", "c_name"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("c_name"), F.concat(F.lit("new#"), F.col("c_custkey"))).alias("c_name"),
+            F.col("new_bal_cents").alias("bal_cents"),
+            "src_lsn",
+        )
+    )
+    return survivors.unionByName(upserts)
+
+
+@query(
+    "cdc_delete_antijoin",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def cdc_delete_antijoin(spark, sf_dir):
+    """X3 delete application = left-anti join (§2.7 set-ops row)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "cdc_watermark_agg",
+    """
+    SELECT user_id % 8 AS source_partition,
+           max(event_id) AS watermark,
+           min(event_id) AS lsn_lo,
+           count(*) AS row_count
+    FROM events GROUP BY user_id % 8
+    """,
+)
+def cdc_watermark_agg(spark, sf_dir):
+    """X5 per-partition watermark manifest row (dx/manifest.py):
+    groupBy partition → max applied LSN. Map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 8).alias("source_partition")).agg(
+        F.max("event_id").alias("watermark"),
+        F.min("event_id").alias("lsn_lo"),
+        F.count("*").alias("row_count"),
+    )
+
+
+@query(
+    "cdc_batch_cut",
+    """
+    SELECT (event_id - 1) // 1000 AS batch_id,
+           min(event_id) AS lsn_lo, max(event_id) AS lsn_hi, count(*) AS n_events
+    FROM events GROUP BY (event_id - 1) // 1000
+    """,
+)
+def cdc_batch_cut(spark, sf_dir):
+    """X1 bounded LSN-range micro-batch cutting (flow control C7):
+    Δ=1000 ranges over the changelog."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(((F.col("event_id") - 1) / 1000).cast("long").alias("batch_id")).agg(
+        F.min("event_id").alias("lsn_lo"),
+        F.max("event_id").alias("lsn_hi"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "cdc_sha256_invariant",
+    """
+    SELECT doc_id,
+           sha256(replace(replace(text, chr(13) || chr(10), chr(10)), chr(13), chr(10)))
+             AS content_sha
+    FROM documents
+    """,
+)
+def cdc_sha256_invariant(spark, sf_dir):
+    """X7 per-row invariant: sha256 of normalized content
+    (BASELINE.json:15), JVM built-in sha2 — zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    from dx.transforms import content_sha
+
+    return docs.select("doc_id", content_sha(F.col("text")).alias("content_sha"))
+
+
+@query(
+    "cdc_skew_stats",
+    """
+    SELECT user_id AS hot_key, count(*) AS n_events,
+           floor(count(*) * 10000.0 / (SELECT count(*) FROM events))::BIGINT AS share_bps
+    FROM events GROUP BY user_id HAVING count(*) > 50
+    """,
+)
+def cdc_skew_stats(spark, sf_dir):
+    """X6 hot-key detection feeding salted repartition (dx/skew.py)."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy(F.col("user_id").alias("hot_key"))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > 50)
+        .withColumn(
+            "share_bps", F.floor(F.col("n_events") * 10000.0 / F.lit(total)).cast("long")
+        )
+    )
+
+
+@query(
+    "cdc_salt_assignment",
+    """
+    SELECT event_id % 16 AS salt, count(*) AS n, min(event_id) AS first_lsn
+    FROM events GROUP BY event_id % 16
+    """,
+)
+def cdc_salt_assignment(spark, sf_dir):
+    """X6 salt bucketing shape: 16-way spread of a hot stream."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy((F.col("event_id") % 16).alias("salt")).agg(
+        F.count("*").alias("n"), F.min("event_id").alias("first_lsn")
+    )
+
+
+# =====================================================================
+# DataX operator parity (SURVEY.md §2.3 P-rows, §2.5 R-rows, §2.1 C9)
+# =====================================================================
+
+@query(
+    "dx_projection_filter",
+    """
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45.0
+    """,
+)
+def dx_projection_filter(spark, sf_dir):
+    """P1 column projection + P2 predicate pushdown: both reach the
+    parquet scan (PushedFilters/ReadSchema in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45.0)
+    ).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "dx_constant_column",
+    """
+    SELECT r_regionkey, r_name, 'dx' AS src_tag, 42 AS job_id FROM region
+    """,
+)
+def dx_constant_column(spark, sf_dir):
+    """P4 constant column injection (file-reader {type, value})."""
+    return _t(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name",
+        F.lit("dx").alias("src_tag"), F.lit(42).alias("job_id"),
+    )
+
+
+@query(
+    "dx_string_transformers",
+    """
+    SELECT p_partkey,
+           substring(p_name, 1, 8) AS name8,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           substring(p_type, 1, 3) || '<>' || substring(p_type, 6) AS type_spliced,
+           md5(p_name) AS name_md5
+    FROM part
+    """,
+)
+def dx_string_transformers(spark, sf_dir):
+    """P5 dx_substr / P6 dx_pad / P7 dx_replace / P10 dx_digest —
+    DataX's transformer chain as codegen'd column expressions
+    (dx/transforms.py registry)."""
+    from dx.transforms import dx_digest, dx_pad, dx_replace, dx_substr
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        dx_substr(F.col("p_name"), 0, 8).alias("name8"),
+        dx_pad(F.col("p_brand"), "l", 12, "*").alias("brand_pad"),
+        dx_replace(F.col("p_type"), 3, 2, "<>").alias("type_spliced"),
+        dx_digest(F.col("p_name"), "md5").alias("name_md5"),
+    )
+
+
+@query(
+    "dx_filter_transformer",
+    """
+    SELECT p_partkey, p_type FROM part
+    WHERE p_type NOT LIKE '%BRASS%' AND p_size >= 10
+    """,
+)
+def dx_filter_transformer(spark, sf_dir):
+    """P8 dx_filter: drop records matching like/compare ops."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(~F.col("p_type").like("%BRASS%") & (F.col("p_size") >= 10)).select(
+        "p_partkey", "p_type"
+    )
+
+
+@query(
+    "dx_type_coercion_dirty",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_clean,
+           count(*) - count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_dirty
+    FROM events GROUP BY event_type
+    """,
+)
+def dx_type_coercion_dirty(spark, sf_dir):
+    """P12 type-coercion matrix + C9 dirty-record accounting:
+    try_cast failures are counted (quarantined), never fail the job."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(k).alias("n_clean"),
+        (F.count("*") - F.count(k)).alias("n_dirty"),
+    )
+
+
+@query(
+    "dx_multi_table_union",
+    """
+    SELECT r_name AS name, 'region' AS src FROM region
+    UNION ALL
+    SELECT n_name AS name, 'nation' AS src FROM nation
+    """,
+)
+def dx_multi_table_union(spark, sf_dir):
+    """R2 multi-table fan-out: unionByName of per-table scans."""
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    return r.unionByName(n)
+
+
+@query(
+    "dx_split_ranges",
+    """
+    WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+    SELECT least(((o_orderkey - b.lo) * 8) // (b.hi - b.lo + 1), 7) AS task_id,
+           count(*) AS n_rows, min(o_orderkey) AS range_lo, max(o_orderkey) AS range_hi
+    FROM orders, b
+    GROUP BY least(((o_orderkey - b.lo) * 8) // (b.hi - b.lo + 1), 7)
+    """,
+)
+def dx_split_ranges(spark, sf_dir):
+    """R1 splitPk range split (†SingleTableSplitUtil): min/max sampled,
+    cut into 8 WHERE-ranges — here as a single pass, the Spark-native
+    version of DataX's per-task range scan planning."""
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    task = F.least(
+        ((F.col("o_orderkey") - F.lit(lo)) * 8 / F.lit(hi - lo + 1)).cast("long"),
+        F.lit(7),
+    )
+    return o.groupBy(task.alias("task_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("range_lo"),
+        F.max("o_orderkey").alias("range_hi"),
+    )
+
+
+# =====================================================================
+# Relational coverage (§2.7 — the Spark primitives the CDC graft uses)
+# =====================================================================
+
+@query(
+    "rel_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(floor(l_quantity * 100)::BIGINT) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(floor(l_extendedprice * 100)::BIGINT) AS BIGINT) AS sum_price_cents,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_agg_pricing_summary(spark, sf_dir):
+    """§2.7 aggregation row (TPC-H Q1 shape): partial+final hash agg;
+    money in exact integer cents — no float accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(CENTS(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(CENTS(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.sum(
+                CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_join_broadcast",
+    """
+    SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(floor(c.c_acctbal * 100)::BIGINT) AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def rel_join_broadcast(spark, sf_dir):
+    """§2.7 join row: small dim broadcast (the MERGE join's fast path)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(CENTS(F.col("c_acctbal"))).alias("bal_cents"),
+        )
+    )
+
+
+@query(
+    "rel_join_3way",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def rel_join_3way(spark, sf_dir):
+    """§2.7 multi-join (TPC-H Q3 shape): Catalyst picks BHJ/SMJ; AQE
+    re-plans at runtime."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "rel_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(floor(o_totalprice * 100)::BIGINT)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders
+    """,
+)
+def rel_window_running(spark, sf_dir):
+    """§2.7 window row: running aggregate + sequence per key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(CENTS(F.col("o_totalprice"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("running_cents"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "rel_topk",
+    """
+    SELECT o_orderkey, floor(o_totalprice * 100)::BIGINT AS price_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def rel_topk(spark, sf_dir):
+    """§2.7 sort/limit row: top-k with a total tiebreak order (Spark
+    plans TakeOrderedAndProject — no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", CENTS(F.col("o_totalprice")).alias("price_cents"))
+        .limit(25)
+    )
+
+
+@query(
+    "rel_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    SEMI JOIN lineitem l ON s.s_suppkey = l.l_suppkey AND l.l_quantity > 49.5
+    """,
+)
+def rel_semi_join(spark, sf_dir):
+    """§2.7 semi-join row (EXISTS)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49.5)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "rel_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_rollup(spark, sf_dir):
+    """§2.7 grouping-sets row: rollup hierarchy totals."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    ).select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_orders",
+    )
+
+
+@query(
+    "rel_set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def rel_set_except(spark, sf_dir):
+    """§2.7 set-ops row: EXCEPT (the delete-side of snapshot rewrite)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
