@@ -9,14 +9,20 @@ Two strategies, both exposed (tests assert equality):
 - ``window`` — the spec-literal form: ``row_number() OVER
   (PARTITION BY repo, path ORDER BY lsn DESC) = 1``. One full shuffle
   of the batch; a single hot key serializes into one task.
-- ``maxby`` (engine default) — ``groupBy(key).agg(max_by(struct(*),
-  lsn))``. Same semantics (LSNs are unique), but hash aggregation gets
-  a *partial/map-side combine*: each input partition pre-collapses to
-  one row per key before the shuffle. At 10^10 events this is the
-  difference between shuffling the whole batch and shuffling ~|keys|
-  rows, and a hot key is reduced on every mapper instead of landing on
-  one reducer — per-key skew is defused structurally, before salting
-  (skew.py) is even needed.
+- ``maxby`` — ``groupBy(key).agg(max_by(struct(*), lsn))``. Same
+  semantics (LSNs are unique), but hash aggregation gets a
+  *partial/map-side combine*: each input partition pre-collapses to
+  one row per key before the shuffle, and a hot key is reduced on
+  every mapper instead of landing on one reducer — per-key skew is
+  defused structurally, before salting (skew.py) is even needed.
+  Still shuffles one full-payload row per (mapper, key).
+- ``join`` (engine default) — two-phase: aggregate only
+  ``(key, max(lsn))`` (a narrow shuffle of key+lsn, ~1% of payload
+  bytes for code content), then left-semi join the batch against the
+  winning (key, lsn) pairs. With the winner set broadcast (a CDC
+  batch's key set ≪ the table), the payload is NEVER shuffled at
+  dedup — its only shuffle is the final bucket-write repartition. At
+  10^10 events this halves total content bytes moved per batch.
 """
 
 from __future__ import annotations
@@ -27,9 +33,23 @@ from pyspark.sql import functions as F
 KEY = ["repo", "path"]
 
 
+def latest_keys(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn") -> DataFrame:
+    """``(key..., max(lsn) AS lsn_col)`` winners — the narrow dedup core.
+
+    Map-side combined; the shuffle carries only key + lsn columns.
+    """
+    return df.groupBy(*key).agg(F.max(lsn_col).alias(lsn_col))
+
+
 def dedup_max_lsn(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
-                  strategy: str = "maxby") -> DataFrame:
-    """Keep only the max-LSN event per key; preserves input schema."""
+                  strategy: str = "join", winners: DataFrame | None = None,
+                  broadcast_winners: bool = True) -> DataFrame:
+    """Keep only the max-LSN event per key; preserves input schema.
+
+    ``winners`` lets the caller pass a precomputed/persisted
+    :func:`latest_keys` frame (the engine reuses it for dirty-bucket
+    planning and the MERGE anti-join).
+    """
     if strategy == "window":
         w = Window.partitionBy(*key).orderBy(F.col(lsn_col).desc())
         return (
@@ -43,4 +63,9 @@ def dedup_max_lsn(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
             F.max_by(F.struct(*payload), F.col(lsn_col)).alias("__top")
         )
         return agg.select(*key, *[F.col(f"__top.{c}").alias(c) for c in payload])
+    if strategy == "join":
+        w = winners if winners is not None else latest_keys(df, key, lsn_col)
+        if broadcast_winners:
+            w = F.broadcast(w)
+        return df.join(w, on=[*key, lsn_col], how="left_semi")
     raise ValueError(f"unknown dedup strategy: {strategy}")

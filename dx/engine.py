@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from dx import manifest as mf
 from dx import skew
-from dx.dedup import dedup_max_lsn
+from dx.dedup import dedup_max_lsn, latest_keys
 from dx.lake import KEY, LakeTable
 from dx.transforms import content_sha, normalize_content, normalize_content_udf, sha256_pandas
 
@@ -90,12 +90,14 @@ class ReplayEngine:
         table: LakeTable,
         changelog: DataFrame,
         delta: int = 10_000,
-        dedup_strategy: str = "maxby",
+        dedup_strategy: str = "join",
         salt_threshold: float = 0.10,
         n_salts: int = 16,
         use_pandas_udfs: bool = False,
         broadcast_keys: bool = True,
         metrics_path: str | None = None,
+        merge_mode: str = "mor",
+        compact_threshold: int = 8,
     ):
         self.spark = spark
         self.table = table
@@ -107,6 +109,8 @@ class ReplayEngine:
         self.use_pandas_udfs = use_pandas_udfs
         self.broadcast_keys = broadcast_keys
         self.metrics_path = metrics_path
+        self.merge_mode = merge_mode
+        self.compact_threshold = compact_threshold
         self._max_lsn: int | None = None
 
     # ----------------------------------------------------------------- utils
@@ -125,10 +129,18 @@ class ReplayEngine:
                 f.write(line + "\n")
 
     # ------------------------------------------------------------ transforms
-    def _prepare_changes(self, events: DataFrame) -> DataFrame:
+    def _prepare_changes(self, events: DataFrame, winners: DataFrame | None = None) -> DataFrame:
         """Dedup + vectorized payload transforms + evolved-column
-        materialization → the exact frame lake.merge expects."""
-        deduped = dedup_max_lsn(events, strategy=self.dedup_strategy)
+        materialization → the exact frame lake.merge expects.
+
+        With the default ``join`` strategy, ``winners`` is the cached
+        (repo, path, lsn) winner set: the payload is filtered by a
+        broadcast semi-join and flows to the bucket write with exactly
+        one shuffle total (the write repartition)."""
+        deduped = dedup_max_lsn(
+            events, strategy=self.dedup_strategy, winners=winners,
+            broadcast_winners=self.broadcast_keys,
+        )
         if self.use_pandas_udfs:
             norm = normalize_content_udf(F.col("content"))
             sha = sha256_pandas(norm)
@@ -154,6 +166,14 @@ class ReplayEngine:
             F.col("op"),
         ]
         changes = deduped.select(*sel)
+        if self.dedup_strategy == "join" and winners is not None:
+            # X6 is structural here: the only payload shuffle is the
+            # bucket write, keyed by pmod(hash(repo, path)) — a hot
+            # repo's paths spread uniformly across buckets, so an
+            # explicit salt column would just add a second shuffle.
+            # Hot-repo stats still come from the (tiny, cached) winner
+            # set for lineage/metrics consumers.
+            return changes
         hot = skew.hot_repos(deduped, self.salt_threshold)
         if hot:
             salted = skew.with_salt(changes, hot, self.n_salts)
@@ -213,38 +233,64 @@ class ReplayEngine:
             return m
         events = window.filter(
             (F.col("lsn") > lo) & (F.col("lsn") <= hi) & (F.col("op") != "DDL")
-        )
-        lineage_rows = [
-            {
-                "source_partition": int(r["source_partition"]),
-                "lsn_lo": int(r["lsn_lo"]),
-                "lsn_hi": int(r["lsn_hi"]),
-                "row_count": int(r["row_count"]),
-            }
-            for r in events.groupBy("source_partition")
-            .agg(
-                F.min("lsn").alias("lsn_lo"),
-                F.max("lsn").alias("lsn_hi"),
-                F.count("*").alias("row_count"),
-            )
-            .collect()
-        ]
-        n_events = sum(r["row_count"] for r in lineage_rows)
-        if n_events == 0:
-            sid = self.table.checkpoint_watermark(batch_id, hi)
-            dt = time.monotonic() - t0
-            m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
-            self._emit(m)
-            return m
-        changes = self._prepare_changes(events)
-        sid = self.table.merge(
-            changes,
-            batch_id=batch_id,
-            watermark_hi=hi,
-            lineage=lineage_rows,
-            broadcast_keys=self.broadcast_keys,
-            crash_after_commit=crash_after_commit,
-        )
+        ).persist()  # one scan of the batch slice feeds lineage, dedup, write
+        winners = None
+        try:
+            lineage_rows = [
+                {
+                    "source_partition": int(r["source_partition"]),
+                    "lsn_lo": int(r["lsn_lo"]),
+                    "lsn_hi": int(r["lsn_hi"]),
+                    "row_count": int(r["row_count"]),
+                }
+                for r in events.groupBy("source_partition")
+                .agg(
+                    F.min("lsn").alias("lsn_lo"),
+                    F.max("lsn").alias("lsn_hi"),
+                    F.count("*").alias("row_count"),
+                )
+                .collect()
+            ]
+            n_events = sum(r["row_count"] for r in lineage_rows)
+            if n_events == 0:
+                sid = self.table.checkpoint_watermark(batch_id, hi)
+                dt = time.monotonic() - t0
+                m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
+                self._emit(m)
+                return m
+            if self.dedup_strategy == "join":
+                # the narrow winner set (key + lsn) drives dedup, dirty-
+                # bucket planning, the anti-join, and the change count —
+                # the payload frame is evaluated once, in the write.
+                winners = latest_keys(events).persist()
+                n_keys = winners.count()
+                changes = self._prepare_changes(events, winners)
+                sid = self.table.merge(
+                    changes,
+                    batch_id=batch_id,
+                    watermark_hi=hi,
+                    lineage=lineage_rows,
+                    broadcast_keys=self.broadcast_keys,
+                    crash_after_commit=crash_after_commit,
+                    keys=winners,
+                    change_rows=n_keys,
+                    mode=self.merge_mode,
+                )
+            else:
+                changes = self._prepare_changes(events)
+                sid = self.table.merge(
+                    changes,
+                    batch_id=batch_id,
+                    watermark_hi=hi,
+                    lineage=lineage_rows,
+                    broadcast_keys=self.broadcast_keys,
+                    crash_after_commit=crash_after_commit,
+                    mode=self.merge_mode,
+                )
+        finally:
+            events.unpersist()
+            if winners is not None:
+                winners.unpersist()
         dt = time.monotonic() - t0
         applied = self.table.meta(refresh=False).get("merge_stats", {}).get("change_rows", 0)
         m = BatchMetrics(
@@ -274,5 +320,12 @@ class ReplayEngine:
             hi = min(w + self.delta, head)
             crash = crash_after_batch is not None and n == crash_after_batch
             out.extend(self.run_batch(w, hi, crash_after_commit=crash))
+            if self.merge_mode == "mor" and self.compact_threshold:
+                deep = [
+                    b for b, d in self.table.delta_depth().items()
+                    if d >= self.compact_threshold
+                ]
+                if deep:
+                    self.table.compact(deep)
             n += 1
         return out

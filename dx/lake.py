@@ -31,9 +31,18 @@ Scale notes (10^10 rows / 1000 executors):
 - The MERGE anti-join broadcasts the changed-key set when small
   (typical CDC batch ≪ table); otherwise it's a shuffled join with
   AQE skew handling. Either way only dirty-bucket rows participate.
-- Copy-on-write per bucket trades write amplification for zero read
-  amplification; a merge-on-read delete-file path is the documented
-  follow-up for very hot tables.
+- Two merge modes, mirroring Iceberg v1/v2:
+  * ``cow`` (copy-on-write): dirty buckets are rewritten (anti-join
+    survivors ∪ upserts). Zero read amplification; write-amplified
+    when changes spread across many buckets.
+  * ``mor`` (merge-on-read): a batch appends only its own deduped
+    change rows (incl. ``_op='D'`` tombstones) as per-bucket *delta
+    files*; readers reconcile base ∪ deltas by max ``_lsn`` per key
+    and drop tombstones — Iceberg v2 equality-delete semantics with
+    the delete expressed as a newer row version. ``compact()`` folds
+    deltas back into the base (== the cow rewrite). For a CDC stream
+    building or hammering a table, mor makes batch cost O(batch),
+    not O(touched buckets' size).
 
 DataX analogue: writers W1/W2 (†plugin-rdbms-util/.../CommonRdbmsWriter.java,
 SURVEY.md §2.4) — ``writeMode: replace/update`` last-writer-wins by
@@ -113,6 +122,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "watermark": 0,
             "files": {},
+            "deltas": {},
             "lineage": [],
             "row_count": 0,
             "applied_at": time.time(),
@@ -196,20 +206,22 @@ class LakeTable:
         path = path if path is not None else F.col("path")
         return F.pmod(F.hash(repo, path), F.lit(self.n_buckets))
 
-    def _read_files(self, files: list[str], columns: list[ColumnSpec]) -> DataFrame:
+    def _read_files(self, files: list[str], columns: list[ColumnSpec],
+                    include_op: bool = False) -> DataFrame:
         """Read physical files, project to the given logical schema.
 
         mergeSchema unions per-file physical schemas (files written
         under older schema versions lack newer fid columns → null);
         columns present in no file are synthesized as typed nulls.
         Dropped columns' physical names are simply not selected.
+        ``include_op`` additionally surfaces the ``_op`` marker (delta
+        files carry it physically; base files read as 'U').
         """
-        stored = {c.stored_name: c for c in columns}
-        sys_cols = dict(SYSTEM_COLUMNS)
+        sys_extra = [("_op", "string")] if include_op else []
         if not files:
             ddl = ", ".join(
                 [f"`{c.name}` {c.type}" for c in columns]
-                + [f"`{n}` {t}" for n, t in SYSTEM_COLUMNS]
+                + [f"`{n}` {t}" for n, t in SYSTEM_COLUMNS + sys_extra]
             )
             return self.spark.createDataFrame([], ddl)
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
@@ -223,12 +235,40 @@ class LakeTable:
             sel.append(
                 (F.col(n) if n in df.columns else F.lit(None)).cast(t).alias(n)
             )
+        if include_op:
+            sel.append(
+                (F.coalesce(F.col("_op"), F.lit("U")) if "_op" in df.columns
+                 else F.lit("U")).cast("string").alias("_op")
+            )
         return df.select(*sel)
+
+    def _bucket_state(self, buckets: list[str], cols: list[ColumnSpec]) -> DataFrame:
+        """Reconciled current state of the given buckets (base ∪ deltas:
+        max-``_lsn`` row per key wins, tombstones drop) — the read side
+        of Iceberg-v2-style merge-on-read."""
+        meta = self.meta(refresh=False)
+        base_files = [f for b in buckets for f in meta["files"].get(b, [])]
+        delta_files = [f for b in buckets for f in meta.get("deltas", {}).get(b, [])]
+        if not delta_files:
+            return self._read_files(base_files, cols)
+        from pyspark.sql import Window
+
+        base = self._read_files(base_files, cols, include_op=True)
+        delt = self._read_files(delta_files, cols, include_op=True)
+        w = Window.partitionBy(*KEY).orderBy(F.col("_lsn").desc())
+        return (
+            base.unionByName(delt)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("_op") != "D"))
+            .drop("__rn", "_op")
+        )
 
     def read(self, include_system: bool = False) -> DataFrame:
         meta = self.meta()
-        files = [f for fl in meta["files"].values() for f in fl]
-        df = self._read_files(files, self.columns())
+        buckets = sorted(
+            set(meta["files"]) | set(meta.get("deltas", {})), key=int
+        )
+        df = self._bucket_state(buckets, self.columns())
         if not include_system:
             df = df.drop(*[n for n, _ in SYSTEM_COLUMNS])
         return df
@@ -310,9 +350,12 @@ class LakeTable:
             )
         return files
 
-    def _stored_select(self, df: DataFrame, columns: list[ColumnSpec]) -> DataFrame:
+    def _stored_select(self, df: DataFrame, columns: list[ColumnSpec],
+                       include_op: bool = False) -> DataFrame:
         sel = [F.col(c.name).cast(c.type).alias(c.stored_name) for c in columns]
         sel += [F.col(n).cast(t).alias(n) for n, t in SYSTEM_COLUMNS]
+        if include_op:
+            sel.append(F.col("_op").cast("string").alias("_op"))
         return df.select(*sel, F.col("__bucket"))
 
     def seed(self, df: DataFrame, batch_id: str = "seed") -> str:
@@ -347,6 +390,9 @@ class LakeTable:
         lineage: list[dict] | None = None,
         broadcast_keys: bool = True,
         crash_after_commit: bool = False,
+        keys: DataFrame | None = None,
+        change_rows: int | None = None,
+        mode: str = "cow",
     ) -> str:
         """MERGE INTO equivalent: last-writer-wins upsert + delete (X3).
 
@@ -365,24 +411,46 @@ class LakeTable:
         ``crash_after_commit`` is a test hook (T3b): raises right
         after the atomic pointer swap to simulate dying before any
         post-commit bookkeeping; recovery must converge.
+
+        ``keys`` (optional): the deduped change-key set as a *small*
+        DataFrame with columns KEY. When given, dirty-bucket planning,
+        the anti-join, and the change count all run against it — the
+        full ``changes`` frame (which carries payload content) is then
+        evaluated exactly ONCE, in the bucket write; no persist, no
+        second pass over content bytes. This is the 100 TB path: the
+        key set of a CDC batch is MBs while its payload is GBs-TBs.
         """
+        if mode == "mor":
+            return self._merge_mor(
+                changes, batch_id, watermark_hi, lineage=lineage,
+                crash_after_commit=crash_after_commit, keys=keys,
+                change_rows=change_rows,
+            )
         meta = self.meta()
         cols = self.columns()
         parent = meta["snapshot_id"]
 
-        changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
+        own_persist = keys is None
+        if own_persist:
+            changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
+            key_set = changes.select(*KEY)
+            bucket_src = changes
+        else:
+            changes = changes.withColumn("__bucket", self.bucket_expr())
+            key_set = keys.select(*KEY)
+            bucket_src = key_set.withColumn("__bucket", self.bucket_expr())
         try:
-            dirty = sorted(r[0] for r in changes.select("__bucket").distinct().collect())
+            dirty = sorted(
+                r[0] for r in bucket_src.select("__bucket").distinct().collect()
+            )
             dirty_s = [str(b) for b in dirty]
-            old_files = [f for b in dirty_s for f in meta["files"].get(b, [])]
-            old = self._read_files(old_files, cols).withColumn(
+            old = self._bucket_state(dirty_s, cols).withColumn(
                 "__bucket", self.bucket_expr()
             )
 
-            keys = changes.select(*KEY)
             if broadcast_keys:
-                keys = F.broadcast(keys)
-            survivors = old.join(keys, on=KEY, how="left_anti")
+                key_set = F.broadcast(key_set)
+            survivors = old.join(key_set, on=KEY, how="left_anti")
             upserts = changes.filter(F.col("op") != "D").select(
                 *[F.col(c.name) for c in cols],
                 *[F.col(n) for n, _ in SYSTEM_COLUMNS],
@@ -402,14 +470,19 @@ class LakeTable:
             files = {b: fl for b, fl in meta["files"].items() if b not in dirty_s}
             for b in dirty_s:
                 files[b] = new_files.get(b, [])  # bucket may be emptied by deletes
+            deltas = {
+                b: fl for b, fl in meta.get("deltas", {}).items() if b not in dirty_s
+            }  # dirty buckets' deltas are folded into the rewrite
 
-            delta = changes.count()
+            if change_rows is None:
+                change_rows = (changes if own_persist else keys).count()
             snap = {
                 **meta,
                 "snapshot_id": sid,
                 "parent_id": parent,
                 "batch_id": batch_id,
                 "files": files,
+                "deltas": deltas,
                 "lineage": lineage or [],
                 "watermark": max(int(meta["watermark"]), int(watermark_hi)),
                 "row_count": None,  # exact count maintained lazily; see read().count()
@@ -417,7 +490,8 @@ class LakeTable:
                 "merge_stats": {
                     "dirty_buckets": len(dirty),
                     "total_buckets": self.n_buckets,
-                    "change_rows": int(delta),
+                    "change_rows": int(change_rows),
+                    "mode": "cow",
                 },
             }
             self._write_snapshot(snap, expected_parent=parent)
@@ -425,4 +499,110 @@ class LakeTable:
                 raise RuntimeError("injected crash after commit point (T3b)")
             return sid
         finally:
-            changes.unpersist()
+            if own_persist:
+                changes.unpersist()
+
+    def _merge_mor(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        watermark_hi: int,
+        lineage: list[dict] | None = None,
+        crash_after_commit: bool = False,
+        keys: DataFrame | None = None,
+        change_rows: int | None = None,
+    ) -> str:
+        """Merge-on-read apply: append the batch's deduped change rows
+        (D rows become ``_op='D'`` tombstones) as per-bucket delta
+        files. No existing file is read — batch cost is O(batch).
+        Readers reconcile via :meth:`_bucket_state`; :meth:`compact`
+        folds deltas into the base."""
+        meta = self.meta()
+        cols = self.columns()
+        parent = meta["snapshot_id"]
+        sid = f"s{uuid.uuid4().hex[:12]}"
+
+        data = changes.withColumn("__bucket", self.bucket_expr())
+        stored = self._stored_select(
+            data.withColumn("_op", F.col("op")), cols, include_op=True
+        )
+        new_files = self._write_buckets(stored, sid)
+        deltas = {b: list(fl) for b, fl in meta.get("deltas", {}).items()}
+        for b, fl in new_files.items():
+            deltas.setdefault(b, []).extend(fl)
+
+        if change_rows is None:
+            # parquet footer row-counts only — no data scan
+            written = [f for fl in new_files.values() for f in fl]
+            change_rows = (
+                int(self.spark.read.parquet(*written).count()) if written else 0
+            )
+        snap = {
+            **meta,
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "batch_id": batch_id,
+            "deltas": deltas,
+            "lineage": lineage or [],
+            "watermark": max(int(meta["watermark"]), int(watermark_hi)),
+            "row_count": None,
+            "applied_at": time.time(),
+            "merge_stats": {
+                "dirty_buckets": len(new_files),
+                "total_buckets": self.n_buckets,
+                "change_rows": int(change_rows),
+                "mode": "mor",
+            },
+        }
+        self._write_snapshot(snap, expected_parent=parent)
+        if crash_after_commit:
+            raise RuntimeError("injected crash after commit point (T3b)")
+        return sid
+
+    def delta_depth(self) -> dict[str, int]:
+        """Outstanding delta-file count per bucket (compaction signal)."""
+        return {b: len(fl) for b, fl in self.meta().get("deltas", {}).items() if fl}
+
+    def compact(self, buckets: list[str] | None = None,
+                batch_id: str | None = None) -> str | None:
+        """Fold outstanding deltas into the base for the given buckets
+        (default: every bucket with deltas). Equivalent to Iceberg's
+        rewrite_data_files maintenance action; safe to run any time —
+        pure state rewrite, watermark and lineage untouched."""
+        meta = self.meta()
+        cols = self.columns()
+        parent = meta["snapshot_id"]
+        all_delta = [b for b, fl in meta.get("deltas", {}).items() if fl]
+        target = [b for b in (buckets if buckets is not None else all_delta)
+                  if meta.get("deltas", {}).get(b)]
+        if not target:
+            return None
+        sid = f"s{uuid.uuid4().hex[:12]}"
+        state = self._bucket_state(target, cols).withColumn(
+            "__bucket", self.bucket_expr()
+        )
+        new_files = self._write_buckets(
+            self._stored_select(state, cols), sid,
+            num_write_partitions=max(1, min(len(target), self.n_buckets)),
+        )
+        files = dict(meta["files"])
+        deltas = {b: fl for b, fl in meta.get("deltas", {}).items() if b not in target}
+        for b in target:
+            files[b] = new_files.get(b, [])
+        snap = {
+            **meta,
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "batch_id": batch_id or f"compact-{sid}",
+            "files": files,
+            "deltas": deltas,
+            "lineage": [],
+            "applied_at": time.time(),
+            "merge_stats": {
+                "compacted_buckets": len(target),
+                "total_buckets": self.n_buckets,
+                "mode": "compact",
+            },
+        }
+        self._write_snapshot(snap, expected_parent=parent)
+        return sid

@@ -5,7 +5,11 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# pytest's --basetemp=.tmp/pytest (pytest.ini) does not create the parent dir.
+os.makedirs(os.path.join(_REPO, ".tmp"), exist_ok=True)
 
 from dx.session import get_spark  # noqa: E402
 
