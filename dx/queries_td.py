@@ -1,0 +1,337 @@
+"""Training-data pipeline queries + DuckDB oracles (td_* keys).
+
+Registered into dx/queries.py's QUERIES/ORACLE_SQL at import. Each
+entry exercises one operator from dx/pipelines/* over the driver's
+``documents`` / ``embeddings`` tables, with a value-hash-exact ANSI
+SQL oracle. Determinism rules are the module docstring of
+dx/pipelines/__init__.py (md5 hashing, integer quantization, explicit
+tie-breaks).
+
+``td_multimodal_decode`` has NO oracle on purpose: its point is the
+mapInPandas binary plumbing; the driver records a rows-only check.
+``td_multimodal_meta`` covers the same metadata math through a pure
+SQL-expressible path so the values themselves are still oracle-gated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dx.pipelines import dedup as pdedup
+from dx.pipelines import similarity as sim
+from dx.pipelines import text as ptext
+
+QUERIES_TD: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_TD: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES_TD[name] = fn
+        if oracle is not None:
+            ORACLE_TD[name] = oracle
+        return fn
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# DuckDB snippets shared by several oracles
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_U32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------- text
+
+@query(
+    "td_text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, length(text) AS nc FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           nc::BIGINT AS n_chars_calc,
+           floor(len(list_distinct(toks)) * 10000 / len(toks))::BIGINT AS distinct_ratio_bps,
+           floor((nc - (len(toks) - 1)) * 100 / len(toks))::BIGINT AS avg_tok_len_x100,
+           floor(len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','it'], x))) * 10000 / len(toks)
+           )::BIGINT AS stopword_bps,
+           (len(toks) >= 20 AND len(toks) <= 2000
+            AND floor(len(list_distinct(toks)) * 10000 / len(toks)) >= 1000) AS quality_ok
+    FROM t
+    """,
+)
+def td_text_stats(spark, sf_dir):
+    """Quality scoring (length / vocab-richness / stopword signals),
+    all codegen'd column math — dx/pipelines/text.py quality_stats."""
+    d = _docs(spark, sf_dir)
+    st = ptext.quality_stats(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in st.items()])
+
+
+@query(
+    "td_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::BIGINT AS s_en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x)))::BIGINT AS s_de,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x)))::BIGINT AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans'], x)))::BIGINT AS s_fr
+      FROM t)
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted
+    FROM s
+    """,
+)
+def td_lang_id(spark, sf_dir):
+    """Stopword-hit language ID with deterministic argmax tie-break —
+    dx/pipelines/text.py predicted_lang."""
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        ptext.stopword_hits(c, "en").cast("long").alias("s_en"),
+        ptext.stopword_hits(c, "de").cast("long").alias("s_de"),
+        ptext.stopword_hits(c, "es").cast("long").alias("s_es"),
+        ptext.stopword_hits(c, "fr").cast("long").alias("s_fr"),
+        ptext.predicted_lang(c).alias("predicted"),
+    )
+
+
+@query(
+    "td_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '{ptext.BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def td_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(ptext.tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        ptext.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "td_fingerprint",
+    """
+    SELECT doc_id,
+           list_min([md5(substr(text, i, 16)) for i in range(1, length(text) - 14)])
+             AS fp
+    FROM documents
+    """,
+)
+def td_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint: min md5 over char-16-gram windows."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", ptext.fingerprint(F.col("text"), 16).alias("fp"))
+
+
+# --------------------------------------------------------------- dedup
+
+@query(
+    "td_dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def td_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy clusters, keeper = min doc_id."""
+    return pdedup.exact_clusters(_docs(spark, sf_dir))
+
+
+@query(
+    "td_dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
+              for i in range(0, 8)] AS sg
+      FROM sh
+    ),
+    b AS (
+      SELECT doc_id, j - 1 AS band_idx,
+             md5(sg[2*j - 1] || '|' || sg[2*j]) AS band_hash
+      FROM sig, range(1, 5) r(j)
+    )
+    SELECT band_idx, band_hash, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM b GROUP BY band_idx, band_hash
+    """,
+)
+def td_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH banding (4 bands × 2 rows): bucket occupancy.
+    The bucket id is the near-dup join key at scale — the shuffle
+    carries (band_hash, doc_id), never text."""
+    out = pdedup.lsh_bucket_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("band_idx").cast("long"), "band_hash",
+        F.col("n_docs").cast("long"), F.col("min_doc").cast("long"),
+    )
+
+
+@query(
+    "td_dedup_simhash",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             [{_U32.format(x='tok')} for tok in {_TOKS}] AS hs
+      FROM documents)
+    SELECT doc_id,
+           list_sum([CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs]) > 0
+                          THEN (1::BIGINT << j) ELSE 0 END
+                     for j in range(0, 16)])::BIGINT AS simhash16
+    FROM t
+    """,
+)
+def td_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash sketch per document (near-dup by hamming bucket)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", ptext.simhash16(F.col("text")).alias("simhash16"))
+
+
+@query(
+    "td_dedup_ngram_jaccard",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+1], ' ')
+                            for i in range(1, len(toks))]) AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))::BIGINT AS inter_n,
+           len(list_distinct(list_concat(a.sh, b.sh)))::BIGINT AS union_n,
+           floor(len(list_intersect(a.sh, b.sh)) * 10000
+                 / len(list_distinct(list_concat(a.sh, b.sh))))::BIGINT AS jaccard_bps
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def td_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard on consecutive-id pairs (the verify
+    stage after LSH candidate generation; pair source fixed for a
+    deterministic oracle)."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return pdedup.jaccard_pairs(d, pairs, shingle_n=2)
+
+
+# ---------------------------------------------------------- similarity
+
+@query(
+    "td_embed_cosine_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, [floor(x::DOUBLE * 1000)::BIGINT for x in embedding] AS v
+      FROM embeddings),
+    q AS (SELECT v AS qv, list_sum([x * x for x in v])::BIGINT AS qn
+          FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_sum([e.v[i] * q.qv[i] for i in range(1, 65)])::BIGINT AS dot_q,
+           list_sum([x * x for x in e.v])::BIGINT AS norm_q,
+           floor(list_sum([e.v[i] * q.qv[i] for i in range(1, 65)]) * 10000
+                 / sqrt((list_sum([x * x for x in e.v])::BIGINT * q.qn)::DOUBLE)
+           )::BIGINT AS cos_bps
+    FROM e, q WHERE e.vec_id <> 0
+    ORDER BY cos_bps DESC, e.vec_id LIMIT 10
+    """,
+)
+def td_embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 — the ANN exactness
+    baseline; integer-exact math, broadcast query side."""
+    return sim.cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _planes_sql() -> str:
+    rows = sim.hyperplanes(8)
+    return "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in r) + "]" for r in rows
+    ) + "]"
+
+
+@query(
+    "td_embed_lsh_buckets",
+    f"""
+    WITH pl AS (SELECT {_planes_sql()} AS planes),
+    e AS (
+      SELECT vec_id, [floor(x::DOUBLE * 1000)::BIGINT for x in embedding] AS v
+      FROM embeddings),
+    b AS (
+      SELECT vec_id,
+             list_sum([CASE WHEN list_sum([v[i] * planes[p][i]
+                                           for i in range(1, 65)]) > 0
+                            THEN (1::BIGINT << (p - 1)) ELSE 0 END
+                       for p in range(1, 9)])::BIGINT AS bucket
+      FROM e, pl)
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+    FROM b GROUP BY bucket
+    """,
+)
+def td_embed_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing over 8 deterministic integer hyperplanes —
+    the ANN scale path's partition map."""
+    return sim.lsh_bucket_stats(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------- multimodal
+
+@query(
+    "td_multimodal_meta",
+    f"""
+    WITH h AS (SELECT doc_id, {_U32.format(x='text')} AS u FROM documents)
+    SELECT doc_id,
+           16::BIGINT AS payload_len,
+           CASE WHEN u % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           (u % 640 + 1)::BIGINT AS width,
+           ((u // 256) % 480 + 1)::BIGINT AS height
+    FROM h
+    """,
+)
+def td_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata extraction via the REAL mapInPandas
+    decode plumbing (dx/pipelines/multimodal.py) — the oracle
+    reproduces the deterministic fake decoder's arithmetic in SQL."""
+    from dx.pipelines.multimodal import decode_documents
+
+    out = decode_documents(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("payload_len").cast("long"),
+        "format",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+    )
+
+
+@query("td_multimodal_decode")  # rows-only: binary + sha over Arrow batches
+def td_multimodal_decode(spark, sf_dir):
+    """Full multimodal decode output incl. feature sha (no SQL oracle:
+    DuckDB lacks sha256 over BLOB; driver records a rows-only check)."""
+    from dx.pipelines.multimodal import decode_documents
+
+    return decode_documents(_docs(spark, sf_dir))
