@@ -12,10 +12,18 @@ Per batch (SURVEY.md §3.4):
   2. events = changelog.filter(W < lsn ≤ W+Δ)                    [X1]
      — Catalyst pushes the range predicate to the parquet scan
   3. split at DDL boundaries; ALTER TABLE per DDL event          [X4]
-  4. per sub-range: max-LSN dedup (map-side-combined max_by)     [X2]
+  4. per sub-range: max-LSN dedup [X2] — policy by batch size:
+     small (≤ broadcast_key_limit events): broadcast semi-join on
+     the narrow (key, max lsn) winner set — payload shuffles ONCE
+     (the bucket write); large: bucket-window dedup fused with the
+     write partitioning — still exactly one payload shuffle
   5. normalize content + sha256, materialize evolved columns     [X7]
-  6. salted repartition when a repo exceeds the hot threshold    [X6]
-  7. MERGE into the lake table (dirty buckets only)              [X3]
+  6. skew [X6]: structural on the default paths (bucket-hash
+     write spreads hot repos; maxby partial-combines hot keys);
+     explicit salted repartition on the spec-literal window path
+  7. MERGE into the lake table [X3] — mor (default): append
+     per-bucket delta files + tombstones, auto-compact at depth
+     ≥ compact_threshold; cow: rewrite dirty buckets only
   8. snapshot commit = atomic pointer swap; manifest is derived  [X5]
   9. emit lineage + events/sec metrics (JSON line per batch)     [X8]
 

@@ -1,0 +1,83 @@
+"""DataX reader-config parity (dx/sources.py): file scan with
+projection/constants/coercion, dirty-record split, JDBC option mapping."""
+
+from __future__ import annotations
+
+import os
+
+from dx.sources import (
+    ColumnSpec,
+    FileReaderConfig,
+    dirty_split,
+    jdbc_reader_options,
+    read_file,
+)
+
+
+def _write_csv(tmp_path):
+    p = os.path.join(str(tmp_path), "in.csv")
+    with open(p, "w") as f:
+        f.write("id,price,name\n")
+        f.write("1,9.50,alpha\n")
+        f.write("2,notanumber,beta\n")   # dirty price
+        f.write("3,12.25,gamma\n")
+    return p
+
+
+def test_file_reader_projection_constants_coercion(spark, tmp_path):
+    cfg = FileReaderConfig(
+        path=_write_csv(tmp_path),
+        file_type="csv",
+        skip_header=True,
+        columns=[
+            ColumnSpec(type="long", name="id"),
+            ColumnSpec(type="double", name="price"),
+            ColumnSpec(type="string", name="name"),
+            ColumnSpec(type="string", value="dx", alias="src_tag"),   # P4
+        ],
+    )
+    df = read_file(spark, cfg)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["price"] == 9.50
+    assert rows[2]["price"] is None          # P12 try_cast → NULL, job alive
+    assert rows[1]["src_tag"] == "dx"
+    assert df.columns == ["id", "price", "name", "src_tag"]
+
+
+def test_dirty_split_counts(spark, tmp_path):
+    cfg = FileReaderConfig(
+        path=_write_csv(tmp_path), file_type="csv", skip_header=True,
+        columns=[ColumnSpec(type="long", name="id"),
+                 ColumnSpec(type="double", name="price")],
+    )
+    clean, dirty = dirty_split(read_file(spark, cfg), required=["price"])
+    assert clean.count() == 2
+    assert dirty.count() == 1               # E1: count, don't crash
+    assert dirty.collect()[0]["id"] == 2
+
+
+def test_where_pushdown_reaches_scan(spark, sf_dir="/root/testdata/sf0.001"):
+    cfg = FileReaderConfig(
+        path=f"{sf_dir}/orders.parquet", file_type="parquet",
+        where="o_orderstatus = 'F'",
+        columns=[ColumnSpec(type="long", name="o_orderkey")],
+    )
+    df = read_file(spark, cfg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan  # P2 at the scan
+    assert df.count() > 0
+
+
+def test_jdbc_option_mapping():
+    # querySql pass-through (P3)
+    o = jdbc_reader_options("jdbc:postgresql://h/db", query_sql="SELECT 1 AS x")
+    assert o["query"] == "SELECT 1 AS x"
+    # table+column+where composition (S1)
+    o = jdbc_reader_options("jdbc:x", table="t", columns=["a", "b"], where="a > 5")
+    assert o["query"] == "SELECT a, b FROM t WHERE a > 5"
+    # splitPk range split (R1)
+    o = jdbc_reader_options(
+        "jdbc:x", table="t", split_pk="id", split_bounds=(1, 100), num_partitions=8
+    )
+    assert o["partitionColumn"] == "id"
+    assert (o["lowerBound"], o["upperBound"], o["numPartitions"]) == ("1", "100", "8")
