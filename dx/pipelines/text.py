@@ -134,6 +134,26 @@ def simhash16(c: Column) -> Column:
     return out
 
 
+def simhash16_df(df, text_col: str = "text", id_col: str = "doc_id"):
+    """SimHash via explode → 16 conditional sums in one codegen'd
+    hash aggregate (the scale shape — see minhash_signatures_df for
+    why nested higher-order folds don't scale). Same values as
+    :func:`simhash16`. Output: id_col, simhash16."""
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+    h = u32(F.col("__tok"))
+    aggs = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(16)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig.select(F.col(id_col), out.alias("simhash16"))
+
+
 def fingerprint(c: Column, n: int = 16) -> Column:
     """Rolling-hash document fingerprint: min md5 over all character
     n-gram windows (a 1-window winnowing sketch; equal fingerprints ⇒

@@ -158,13 +158,15 @@ def cdc_merge_upsert(spark, sf_dir):
     "cdc_delete_antijoin",
     """
     SELECT c_custkey, c_name FROM customer c
-    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+    ON c.c_custkey = o.o_custkey
     """,
 )
 def cdc_delete_antijoin(spark, sf_dir):
-    """X3 delete application = left-anti join (§2.7 set-ops row)."""
+    """X3 delete application = left-anti join (§2.7 set-ops row):
+    survivors = rows whose key has no (filtered) change."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -581,16 +583,111 @@ def rel_rollup(spark, sf_dir):
 @query(
     "rel_set_except",
     """
-    SELECT c_custkey FROM customer
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def rel_set_except(spark, sf_dir):
-    """§2.7 set-ops row: EXCEPT (the delete-side of snapshot rewrite)."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)
+    """§2.7 set-ops row: EXCEPT (the delete-side of snapshot rewrite) —
+    customers with finished orders but no open ones."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return f.subtract(op)
+
+
+@query(
+    "rel_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           coalesce(lag(o_orderkey) OVER w, -1) AS prev_order,
+           coalesce(lead(o_orderkey) OVER w, -1) AS next_order,
+           datediff('day',
+                    lag(o_orderdate) OVER w,
+                    o_orderdate) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rel_lead_lag(spark, sf_dir):
+    """§2.7 window row: lead/lag navigation (order gap analysis)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).alias("prev_order"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "rel_count_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_count_distinct(spark, sf_dir):
+    """§2.7 aggregation row: exact distinct aggregation (expand+2-phase)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "rel_cube",
+    """
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           count(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def rel_cube(spark, sf_dir):
+    """§2.7 grouping-sets row: full CUBE over two dimensions."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n",
+        )
+    )
+
+
+@query(
+    "rel_date_functions",
+    """
+    SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+           EXTRACT(quarter FROM o_orderdate)::BIGINT AS qtr,
+           count(*) AS n_orders,
+           min(strftime(o_orderdate, '%Y-%m')) AS first_month
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def rel_date_functions(spark, sf_dir):
+    """§2.7 scalar-fn row: date extraction/formatting + temporal rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("first_month"),
+    )
 
 
 # =====================================================================

@@ -208,9 +208,9 @@ def td_dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def td_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash sketch per document (near-dup by hamming bucket)."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ptext.simhash16(F.col("text")).alias("simhash16"))
+    """16-bit SimHash sketch per document (near-dup by hamming bucket);
+    explode-aggregate shape (text.simhash16_df)."""
+    return ptext.simhash16_df(_docs(spark, sf_dir))
 
 
 @query(
