@@ -34,9 +34,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
-# replay size ~ sf: sf0.1 → ~800k events; sf0.01 → ~80k (quick local runs)
+# replay size ~ sf: sf0.1 → ~3.2M events; sf0.01 → ~320k (quick local runs)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-N_KEYS = max(2_000, int(200_000 * _SF / 0.1))
+N_KEYS = max(8_000, int(800_000 * _SF / 0.1))
 MEAN_VERSIONS = 4
 
 

@@ -242,11 +242,13 @@ class LakeTable:
             )
         return df.select(*sel)
 
-    def _bucket_state(self, buckets: list[str], cols: list[ColumnSpec]) -> DataFrame:
-        """Reconciled current state of the given buckets (base ∪ deltas:
+    def _bucket_state(self, buckets: list[str], cols: list[ColumnSpec],
+                      meta: dict | None = None) -> DataFrame:
+        """Reconciled state of the given buckets (base ∪ deltas:
         max-``_lsn`` row per key wins, tombstones drop) — the read side
-        of Iceberg-v2-style merge-on-read."""
-        meta = self.meta(refresh=False)
+        of Iceberg-v2-style merge-on-read. ``meta`` selects a snapshot
+        (default: current)."""
+        meta = meta if meta is not None else self.meta(refresh=False)
         base_files = [f for b in buckets for f in meta["files"].get(b, [])]
         delta_files = [f for b in buckets for f in meta.get("deltas", {}).get(b, [])]
         if not delta_files:
@@ -263,12 +265,22 @@ class LakeTable:
             .drop("__rn", "_op")
         )
 
-    def read(self, include_system: bool = False) -> DataFrame:
-        meta = self.meta()
+    def read(self, include_system: bool = False,
+             snapshot_id: str | None = None) -> DataFrame:
+        """Table state — current, or as of ``snapshot_id`` (time
+        travel: snapshots are immutable, so any committed id stays
+        readable until GC'd, exactly Iceberg's `VERSION AS OF`)."""
+        if snapshot_id is None:
+            meta = self.meta()
+            cols = self.columns()
+        else:
+            with open(self._snap_path(snapshot_id)) as f:
+                meta = json.load(f)
+            cols = [ColumnSpec(**c) for c in meta["columns"]]
         buckets = sorted(
             set(meta["files"]) | set(meta.get("deltas", {})), key=int
         )
-        df = self._bucket_state(buckets, self.columns())
+        df = self._bucket_state(buckets, cols, meta=meta)
         if not include_system:
             df = df.drop(*[n for n, _ in SYSTEM_COLUMNS])
         return df

@@ -52,6 +52,38 @@ def test_auto_compaction_bounds_delta_depth(spark, tmp_path):
     assert state_hash(actual) == state_hash(replay(seed_df, chg))
 
 
+def test_time_travel_reads_historical_snapshot(spark, tmp_path):
+    seed_df, chg, table, engine = _setup(spark, tmp_path, "tt", compact_threshold=0)
+    metrics = engine.run()
+    mid = metrics[2]                       # third applied batch
+    expected = replay(seed_df, chg[chg.lsn <= mid.lsn_hi])
+    asof = spark_state_to_pandas(
+        table.read(include_system=True, snapshot_id=mid.snapshot_id)
+    )
+    assert state_hash(asof) == state_hash(expected)
+    # current head unaffected by historical read
+    head = spark_state_to_pandas(table.read(include_system=True))
+    assert state_hash(head) == state_hash(replay(seed_df, chg))
+
+
+def test_cow_and_mor_converge_identically(spark, tmp_path):
+    seed_df = gen_seed_table(n_repos=4, paths_per_repo=20, seed=33)
+    chg = gen_changelog(seed_df, n_events=1_500, seed=33)
+    states = {}
+    for mode in ("cow", "mor"):
+        table = LakeTable.create(spark, str(tmp_path / f"m_{mode}"), n_buckets=8)
+        seed_lake(spark, table, seed_df)
+        ReplayEngine(
+            spark, table, changelog_from_pandas(spark, chg), delta=300,
+            merge_mode=mode,
+        ).run()
+        states[mode] = state_hash(
+            spark_state_to_pandas(table.read(include_system=True))
+        )
+    assert states["cow"] == states["mor"]
+    assert states["cow"] == state_hash(replay(seed_df, chg))
+
+
 def test_replay_resumes_over_compacted_chain(spark, tmp_path):
     seed_df, chg, table, engine = _setup(spark, tmp_path, "c3", compact_threshold=0)
     engine.run(max_batches=4)
