@@ -77,6 +77,102 @@ def stream_replay(
     )
 
 
+def windowed_event_counts(stream, window: str = "1 minute",
+                          watermark: str = "2 minutes"):
+    """Event-time tumbling-window aggregation with a watermark.
+
+    The conventional streaming-aggregation surface (events table
+    shape: ts/event_type/value): append-mode emits a window only once
+    it is closed by the watermark; rows later than the watermark are
+    dropped. Money stays in exact cents (no float accumulation).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value_cents",
+        )
+    )
+
+
+SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, closed boolean"
+)
+SESSION_STATE_DDL = "start long, last long, n int"
+
+
+def sessionize(stream, gap_seconds: int = 30, watermark: str = "2 minutes"):
+    """Custom stateful operator: session windows per user via
+    ``applyInPandasWithState`` (gap-based sessionization, the classic
+    case Spark's built-in windows can't express pre-3.4 session
+    windows with custom emit logic).
+
+    State per user = (session start, last event, count) in epoch
+    seconds; a state timeout (event-time based) closes the session
+    ``gap_seconds`` after its last event and emits it with
+    ``closed=true``. Arrow-batched; no per-row Python outside the
+    grouped pandas batch.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    gap = gap_seconds
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n],
+                "closed": [True],
+            })
+            return
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        secs = (ts.astype("int64") // 1_000_000_000).tolist()
+        sessions = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = secs[0], secs[0], 0
+        for s in secs:
+            if s - last > gap:
+                sessions.append((start, last, n))
+                start, n = s, 0
+            last = s
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap) * 1000)
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="s"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="s"),
+                "n_events": [s[2] for s in sessions],
+                "closed": True,
+            }
+        )
+        if len(out):
+            yield out
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_DDL, SESSION_STATE_DDL, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def watermark_lag(spark: SparkSession, table: LakeTable, changelog_dir: str):
     """Monitoring helper: head LSN in the landed changelog vs the
     table's applied watermark (replication lag in LSNs)."""
