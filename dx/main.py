@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     demo.add_argument("--paths-per-repo", type=int, default=50)
     demo.add_argument("--seed", type=int, default=42)
 
+    runp = sub.add_parser("run", help="execute a DataX-shaped job.json")
+    runp.add_argument("--job", required=True)
+
     for name in ("replay", "status"):
         sp = sub.add_parser(name)
         sp.add_argument("--workdir", required=True)
@@ -49,6 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from dx.session import get_spark
+
+    if args.cmd == "run":
+        from dx.job import run_job
+
+        with open(args.job) as f:
+            config = json.load(f)
+        print(json.dumps(run_job(get_spark("dx-job"), config)))
+        return 0
 
     wd = args.workdir
     lake_root = os.path.join(wd, "lake")
