@@ -183,3 +183,24 @@ def test_manifest_schema_and_watermarks(spark, tmp_path):
     assert (wm["watermark"] > 0).all()
     assert mf.already_applied(table, "b1-200", 200)
     assert not mf.already_applied(table, "b601-800", 800)
+
+
+def test_optimistic_commit_conflict(spark, tmp_path):
+    """Two writers racing on one table: the loser's pointer swap raises
+    CommitConflict instead of silently clobbering the winner."""
+    import pytest
+
+    from dx.lake import CommitConflict, LakeTable
+
+    root = str(tmp_path / "conflict")
+    t1 = LakeTable.create(spark, root, n_buckets=4)
+    t2 = LakeTable.load(spark, root)
+    m1, m2 = t1.meta(), t2.meta()  # both planned against s0
+    t1.checkpoint_watermark("w1", 10)  # writer 1 commits first
+    snap = {
+        **m2, "snapshot_id": "sloser", "parent_id": m2["snapshot_id"],
+        "batch_id": "w2", "watermark": 20,
+    }
+    with pytest.raises(CommitConflict):
+        t2._write_snapshot(snap, expected_parent=m2["snapshot_id"])
+    assert t1.watermark() == 10  # winner's state intact
