@@ -690,6 +690,45 @@ def rel_date_functions(spark, sf_dir):
     )
 
 
+@query(
+    "rel_set_intersect",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def rel_set_intersect(spark, sf_dir):
+    """§2.7 set-ops row: INTERSECT — customers with both finished and
+    open orders."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return f.intersect(op)
+
+
+@query(
+    "rel_percentile",
+    """
+    SELECT o_orderpriority,
+           floor(quantile_cont(o_totalprice, 0.5) * 100)::BIGINT AS median_cents,
+           floor(quantile_cont(o_totalprice, 0.9) * 100)::BIGINT AS p90_cents,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_percentile(spark, sf_dir):
+    """§2.7 aggregation row: exact interpolated percentiles (linear
+    interpolation is IEEE-identical across engines; quantized to
+    cents for the value hash)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100).cast("long").alias("median_cents"),
+        F.floor(F.expr("percentile(o_totalprice, 0.9)") * 100).cast("long").alias("p90_cents"),
+        F.count("*").alias("n"),
+    )
+
+
 # =====================================================================
 # Training-data pipeline ops (dedup / similarity / text / multimodal) —
 # implementations in dx/pipelines/*, registrations in dx/queries_td.py
