@@ -27,9 +27,15 @@ def grep(plan: str, *pats: str, ctx: int = 0) -> str:
     out = []
     lines = plan.splitlines()
     for i, line in enumerate(lines):
-        if any(re.search(p, line) for p in pats):
-            out.extend(lines[max(0, i - ctx): i + ctx + 1])
-    return "\n".join(s.strip()[:200] for s in out[:12])
+        m = next((re.search(p, line) for p in pats if re.search(p, line)), None)
+        if m:
+            s = line.strip()
+            # window the excerpt around the match so long FileScan lines
+            # still show the matched clause, not just their prefix
+            pos = max(0, line.find(m.group(0)) - 20)
+            out.append(s[:200] if pos < 120 else "… " + line[pos:pos + 220].strip())
+            out.extend(x.strip()[:200] for x in lines[i + 1: i + 1 + ctx])
+    return "\n".join(out[:12])
 
 
 def main() -> int:
@@ -105,6 +111,21 @@ def main() -> int:
         "partial (map side) then final — so a hot key is collapsed on "
         "every mapper, and the exchange carries ~|keys| rows.",
         grep(plan_of(q), "HashAggregate", "Exchange"),
+    ))
+
+    # 6. changelog batch scan pruning (X1)
+    log_path = os.path.join(wd, "log")
+    changelog_from_pandas(spark, chg).repartitionByRange(4, "lsn").sortWithinPartitions(
+        "lsn"
+    ).write.parquet(log_path)
+    batch = spark.read.parquet(log_path).filter("lsn > 500 AND lsn <= 1000")
+    sections.append((
+        "A micro-batch's LSN range is pushed into the changelog scan",
+        "X1: the changelog is written LSN-range-clustered, so the "
+        "(watermark, watermark+Δ] filter prunes parquet row groups via "
+        "min/max stats — at 10^10 events a batch reads ~Δ rows, never "
+        "the table.",
+        grep(plan_of(batch), "PushedFilters"),
     ))
 
     # flagship formatted plan
