@@ -67,13 +67,23 @@ def dedup_max_lsn(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
         w = winners if winners is not None else latest_keys(df, key, lsn_col)
         if broadcast_winners:
             w = F.broadcast(w)
-        return df.join(w, on=[*key, lsn_col], how="left_semi")
+        semi = df.join(w, on=[*key, lsn_col], how="left_semi")
+        # A redelivered event ROW (same key AND same lsn appearing twice
+        # in one batch — e.g. an at-least-once shipper landing a chunk
+        # twice) would survive the semi-join in both copies; window/
+        # maxby/bucket-window all collapse it. dropDuplicates keeps the
+        # strategies equivalent under duplicated input rows. Cost: one
+        # extra shuffle of the already-collapsed batch (≤ |keys| rows,
+        # and this path only runs below broadcast_key_limit) — bounded,
+        # and correctness is not input-invariant-conditional.
+        return semi.dropDuplicates([*key, lsn_col])
     raise ValueError(f"unknown dedup strategy: {strategy}")
 
 
 def dedup_bucket_window(df: DataFrame, bucket_col: str = "__bucket",
                         num_partitions: int | None = None,
-                        key: list[str] = KEY, lsn_col: str = "lsn") -> DataFrame:
+                        key: list[str] = KEY, lsn_col: str = "lsn",
+                        subtask_col: str | None = None) -> DataFrame:
     """Single-shuffle large-batch dedup, fused with bucket routing.
 
     For batches too big to broadcast a winner set: repartition by the
@@ -88,13 +98,21 @@ def dedup_bucket_window(df: DataFrame, bucket_col: str = "__bucket",
     this one — ONE payload shuffle end-to-end), and emits rows sorted
     by key, which compresses better in parquet and pre-sorts future
     merge reads. ``df`` must already carry ``bucket_col``.
+
+    ``subtask_col`` (a key-deterministic sub-bucket id, see
+    LakeTable.with_subtask) joins the partitioning so one bucket
+    spreads over many tasks: with tasks == buckets, the slowest single
+    bucket gates the whole stage (measured straggler term in the 8→32
+    scaling pair); sub-splitting gives the scheduler 4×cores tasks to
+    balance. Keys stay whole within a cell, so the first-of-run filter
+    is unaffected.
     """
-    parts = [F.col(bucket_col)]
+    parts = [F.col(bucket_col)] + ([F.col(subtask_col)] if subtask_col else [])
     data = (
         df.repartition(num_partitions, *parts) if num_partitions
         else df.repartition(*parts)
     )
-    w = Window.partitionBy(bucket_col).orderBy(
+    w = Window.partitionBy(*parts).orderBy(
         *[F.col(k) for k in key], F.col(lsn_col).desc()
     )
     prev = [F.lag(k).over(w).alias(f"__prev_{i}") for i, k in enumerate(key)]

@@ -172,14 +172,19 @@ class ReplayEngine:
         """Large-batch path: bucket-window dedup (dedup.py) — ONE
         payload shuffle, fused with the write's bucket routing (the
         write's repartition reuses this exchange), no winner broadcast,
-        no reduce-side payload hash."""
-        shuffle_n = min(
-            self.table.n_buckets,
-            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+        no reduce-side payload hash. The shuffle is keyed by
+        (bucket, subtask) at WRITE_TASK_MULT×cores partitions so one
+        hot/slow bucket can't straggle a cores-wide stage."""
+        shuffle_n = self.table.write_partitions(True)
+        data = self.table.with_subtask(
+            events.withColumn("__bucket", self.table.bucket_expr())
         )
-        data = events.withColumn("__bucket", self.table.bucket_expr())
-        deduped = dedup_bucket_window(data, num_partitions=shuffle_n)
-        return deduped.select(*self._transform_sel(), F.col("__bucket"))
+        deduped = dedup_bucket_window(
+            data, num_partitions=shuffle_n, subtask_col="__subtask"
+        )
+        return deduped.select(
+            *self._transform_sel(), F.col("__bucket"), F.col("__subtask")
+        )
 
     def _prepare_changes(self, events: DataFrame, winners: DataFrame | None = None,
                          strategy: str | None = None) -> DataFrame:

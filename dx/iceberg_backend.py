@@ -15,32 +15,49 @@ created with:
       --conf spark.sql.catalog.lake.warehouse=<s3/hdfs path> \\
       dx/main.py ...
 
-Semantics parity with dx/lake.py (each method notes its sandbox
-equivalent):
+Surface parity: every method below matches the signature and column
+contract of ``dx.lake.LakeTable`` **as ReplayEngine actually invokes
+it** (``merge(changes, batch_id=, watermark_hi=, lineage=,
+broadcast_keys=, crash_after_commit=, keys=, change_rows=, mode=)``,
+``alter(..., batch_id=, at_lsn=)``, ``watermark()``,
+``checkpoint_watermark()``, ``delta_depth()``, ``compact(buckets)``,
+``meta()``, ``bucket_expr()``) — tests/test_units.py asserts the
+signatures stay compatible, so a cluster deployment cannot fail on a
+TypeError that the sandbox never exercises. The change-frame column
+the engine emits is ``_lsn`` (dx/engine.py _transform_sel), and the
+MERGE SQL below binds ``c._lsn`` accordingly.
+
+Semantics mapping (each method notes its sandbox equivalent):
 
 - table layout = Iceberg's own metadata/manifest tree; LakeTable's
   per-bucket files map + pointer swap is the file-system model of the
   same commit protocol (optimistic snapshot swap).
-- ``write.distribution-mode=hash`` + ``bucket(N, repo)`` partitioning
-  reproduces the pmod(hash(repo,path), N) bucket routing.
+- ``write.distribution-mode=hash`` + ``bucket(N, repo, path)``
+  partitioning reproduces the pmod(hash(repo,path), N) bucket routing.
 - merge-on-read delete files (``write.merge.mode=merge-on-read``)
   correspond to LakeTable's ``mor`` delta files + tombstones.
+- batch_id / watermark / lineage ride in **snapshot summary
+  properties**: Iceberg stamps any session conf prefixed
+  ``snapshot-property.`` into the commit summary, which is the exact
+  analogue of LakeTable embedding them in its snapshot JSON.
 """
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FQN = "lake.db.source_code"
 
 
 class IcebergTable:
-    """Drop-in for dx.lake.LakeTable on a real Iceberg catalog.
+    """LakeTable-compatible adapter over a real Iceberg catalog.
 
-    Only the surface the engine uses: create/read/alter/merge/
-    checkpoint. Lineage rows ride in snapshot summary properties
-    (Iceberg snapshots accept custom summary metadata), exactly like
-    LakeTable embeds them in its snapshot JSON.
+    Only the surface the engine uses; lineage/manifest rows ride in
+    snapshot summary properties, exactly like LakeTable embeds them in
+    its snapshot JSON.
     """
 
     def __init__(self, spark: SparkSession, fqn: str = FQN, n_buckets: int = 256):
@@ -70,32 +87,161 @@ class IcebergTable:
             """
         )
 
-    def read(self) -> DataFrame:
-        return self.spark.table(self.fqn)
+    def read(self, include_system: bool = False,
+             snapshot_id: str | None = None) -> DataFrame:
+        """LakeTable.read incl. time travel (`VERSION AS OF`)."""
+        if snapshot_id is not None:
+            df = self.spark.sql(
+                f"SELECT * FROM {self.fqn} VERSION AS OF {int(snapshot_id)}"
+            )
+        else:
+            df = self.spark.table(self.fqn)
+        if not include_system:
+            df = df.drop("_content_sha", "_lsn")
+        return df
+
+    def bucket_expr(self, repo=None, path=None):
+        """LakeTable.bucket_expr — planning-side mirror of the table's
+        bucket transform (Iceberg routes writes itself; the engine uses
+        this only for dirty-bucket/statistics planning)."""
+        repo = repo if repo is not None else F.col("repo")
+        path = path if path is not None else F.col("path")
+        return F.pmod(F.hash(repo, path), F.lit(self.n_buckets))
+
+    # --------------------------------------------------------- metadata
+    def meta(self, refresh: bool = True) -> dict:
+        """LakeTable.meta: head-snapshot facts from the metadata tables."""
+        snap = self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.fqn}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if not snap:
+            return {"snapshot_id": None, "watermark": 0, "n_buckets": self.n_buckets}
+        summary = snap[0]["summary"]
+        return {
+            "snapshot_id": str(snap[0]["snapshot_id"]),
+            "watermark": int(summary.get("dx.watermark", 0)),
+            "batch_id": summary.get("dx.batch-id"),
+            "n_buckets": self.n_buckets,
+        }
+
+    def watermark(self) -> int:
+        """LakeTable.watermark: max dx.watermark over the snapshot log
+        (snapshots carry it monotonically, so the head value suffices)."""
+        rows = self.spark.sql(
+            f"SELECT max(CAST(summary['dx.watermark'] AS BIGINT)) AS w "
+            f"FROM {self.fqn}.snapshots"
+        ).collect()
+        return int(rows[0]["w"] or 0)
+
+    def applied_batch_ids(self) -> set[str]:
+        """manifest.already_applied's exact-membership side: batch ids
+        from the snapshot summaries — the snapshot log IS the manifest."""
+        rows = self.spark.sql(
+            f"SELECT summary['dx.batch-id'] AS b FROM {self.fqn}.snapshots"
+        ).collect()
+        return {r["b"] for r in rows if r["b"]}
+
+    def snapshot_chain(self) -> list[dict]:
+        """LakeTable.snapshot_chain (lineage export surface)."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, parent_id, committed_at, summary "
+            f"FROM {self.fqn}.snapshots ORDER BY committed_at DESC"
+        ).collect()
+        out = []
+        for r in rows:
+            s = r["summary"]
+            out.append({
+                "snapshot_id": str(r["snapshot_id"]),
+                "parent_id": str(r["parent_id"]) if r["parent_id"] else None,
+                "batch_id": s.get("dx.batch-id"),
+                "watermark": int(s.get("dx.watermark", 0)),
+                "lineage": json.loads(s.get("dx.lineage", "[]")),
+                "applied_at": r["committed_at"].timestamp(),
+            })
+        return out
+
+    def _set_commit_props(self, batch_id: str | None, watermark_hi: int | None,
+                          lineage: list[dict] | None) -> None:
+        """Stamp dx.* into the next commit's snapshot summary. Iceberg
+        copies any session conf prefixed ``snapshot-property.`` into
+        the commit summary (SparkWriteConf); the same facts LakeTable
+        writes into its snapshot JSON."""
+        if batch_id is not None:
+            self.spark.conf.set("snapshot-property.dx.batch-id", batch_id)
+        if watermark_hi is not None:
+            self.spark.conf.set("snapshot-property.dx.watermark", str(int(watermark_hi)))
+        self.spark.conf.set("snapshot-property.dx.lineage", json.dumps(lineage or []))
 
     # -------------------------------------------------------------- DDL
-    def alter(self, action: str, column: str, col_type: str = "string") -> None:
+    def alter(self, action: str, column: str, col_type: str = "string",
+              batch_id: str | None = None, at_lsn: int | None = None) -> str:
         """LakeTable.alter: Iceberg ALTER TABLE is metadata-only and
         field-id-based — drop/re-add of a name cannot resurrect old
-        data, same guarantee LakeTable implements via __fid names."""
+        data, the same guarantee LakeTable implements via __fid names.
+
+        Iceberg schema updates do not create data snapshots, so the
+        batch_id/watermark stamp goes into table properties (the
+        idempotence guard reads both)."""
         if action == "add_column":
             self.spark.sql(f"ALTER TABLE {self.fqn} ADD COLUMN {column} {col_type}")
         elif action == "drop_column":
             self.spark.sql(f"ALTER TABLE {self.fqn} DROP COLUMN {column}")
         else:
             raise ValueError(f"unknown DDL action: {action}")
+        if batch_id is not None:
+            self.spark.sql(
+                f"ALTER TABLE {self.fqn} SET TBLPROPERTIES "
+                f"('dx.ddl.{batch_id}' = '{int(at_lsn or 0)}')"
+            )
+        return batch_id or ""
+
+    def checkpoint_watermark(self, batch_id: str, hi: int) -> str:
+        """LakeTable.checkpoint_watermark: an empty append commit whose
+        only payload is the summary properties (empty-batch watermark
+        advance)."""
+        self._set_commit_props(batch_id, hi, [])
+        empty = self.spark.createDataFrame(
+            [], self.spark.table(self.fqn).schema
+        )
+        empty.writeTo(self.fqn).append()
+        return batch_id
 
     # ------------------------------------------------------------ write
-    def merge(self, changes: DataFrame, batch_id: str) -> None:
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        watermark_hi: int,
+        lineage: list[dict] | None = None,
+        broadcast_keys: bool = True,
+        crash_after_commit: bool = False,
+        keys: DataFrame | None = None,
+        change_rows: int | None = None,
+        mode: str = "mor",
+    ) -> str:
         """LakeTable.merge (X3): the literal MERGE INTO the sandbox
         rewrites as anti-join ∪ upserts / delta files.
 
-        ``changes`` must be max-LSN deduped (X2) with an ``op`` column.
-        Commit-level idempotence: the batch_id is stamped into the
-        snapshot summary; re-apply guards check it (see applied()).
+        ``changes`` is the engine's prepared frame: max-LSN deduped
+        (X2), columns = logical schema + ``op`` + ``_content_sha`` +
+        ``_lsn`` (+ optional ``__bucket`` planning column, dropped —
+        Iceberg routes rows via its own bucket transform). ``keys`` /
+        ``change_rows`` are planning hints the Iceberg MERGE does not
+        need (its engine prunes files by partition + column stats);
+        ``broadcast_keys`` maps to a broadcast hint on the source.
+        ``mode`` is fixed at table level (write.merge.mode property) —
+        per-batch override would be an ALTER, deliberately not done
+        mid-stream. ``crash_after_commit`` is a sandbox test hook; a
+        real commit cannot inject a crash, so it is ignored.
         """
-        changes.createOrReplaceTempView("dx_changes")
-        self.spark.sql(f"SET spark.wap.id = {batch_id!r}")  # snapshot stamping
+        del keys, change_rows, mode, crash_after_commit  # planning hints / test hooks
+        src = changes.drop("__bucket") if "__bucket" in changes.columns else changes
+        if broadcast_keys:
+            src = F.broadcast(src)
+        src.createOrReplaceTempView("dx_changes")
+        self._set_commit_props(batch_id, watermark_hi, lineage)
+        self.spark.conf.set("spark.wap.id", batch_id)  # snapshot stamping
         self.spark.sql(
             f"""
             MERGE INTO {self.fqn} t
@@ -104,29 +250,40 @@ class IcebergTable:
             WHEN MATCHED AND c.op = 'D' THEN DELETE
             WHEN MATCHED THEN UPDATE SET
               t.commit = c.commit, t.lang = c.lang, t.content = c.content,
-              t._content_sha = c._content_sha, t._lsn = c.lsn
+              t._content_sha = c._content_sha, t._lsn = c._lsn
             WHEN NOT MATCHED AND c.op != 'D' THEN INSERT
               (repo, path, commit, lang, content, _content_sha, _lsn)
               VALUES (c.repo, c.path, c.commit, c.lang, c.content,
-                      c._content_sha, c.lsn)
+                      c._content_sha, c._lsn)
             """
         )
+        return batch_id
 
-    def compact(self) -> None:
-        """LakeTable.compact: fold merge-on-read deletes into data."""
+    # ------------------------------------------------------ maintenance
+    def delta_depth(self) -> dict[str, int]:
+        """LakeTable.delta_depth: outstanding delete-file count per
+        partition from the files metadata table (compaction signal)."""
+        rows = self.spark.sql(
+            f"SELECT partition, count(*) AS n FROM {self.fqn}.delete_files "
+            f"GROUP BY partition"
+        ).collect()
+        return {str(r["partition"]): int(r["n"]) for r in rows}
+
+    def compact(self, buckets: list[str] | None = None,
+                batch_id: str | None = None) -> str | None:
+        """LakeTable.compact: fold merge-on-read deletes into data via
+        rewrite_data_files; ``buckets`` narrows the rewrite with a
+        partition predicate."""
+        del batch_id  # Iceberg stamps its own rewrite snapshot summary
+        where = ""
+        if buckets:
+            ids = ", ".join(str(int(b)) for b in buckets)
+            where = f", where => 'partition.repo_bucket IN ({ids})'"
         self.spark.sql(
             f"CALL lake.system.rewrite_data_files(table => '{self.fqn}', "
-            f"options => map('delete-file-threshold', '8'))"
+            f"options => map('delete-file-threshold', '1'){where})"
         )
-
-    # -------------------------------------------------------- manifest
-    def applied(self, batch_id: str) -> bool:
-        """manifest.already_applied: scan snapshot summaries for the
-        batch id (wap.id) — the snapshot chain IS the manifest."""
-        rows = self.spark.sql(
-            f"SELECT summary FROM {self.fqn}.snapshots"
-        ).collect()
-        return any(r["summary"].get("wap.id") == batch_id for r in rows)
+        return None
 
     def snapshots(self) -> DataFrame:
         """Lineage surface: Iceberg metadata tables replace LakeTable's

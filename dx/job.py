@@ -12,14 +12,20 @@ connector breadth beyond these is out of scope §7.5):
 
 - readers: ``filereader`` (csv/text/parquet/orc/json via dx.sources),
   ``streamreader`` (S3 synthetic source: sliceRecordCount rows from
-  column specs, constants or deterministic pseudo-random ranges)
+  column specs, constants or deterministic pseudo-random ranges),
+  ``rdbmsreader``/``mysqlreader``/... (S1/P3: jdbcUrl → config-mapped
+  JDBC scan; without one the same job runs querySql/table against the
+  Spark catalog — the P3 pass-through, exercised in tests)
 - transformers: ``dx_substr``/``dx_pad``/``dx_replace``/``dx_digest``
   (column-in-place), ``dx_filter`` (row drop). ``dx_groovy`` is
   rejected with guidance (pandas UDFs replace script transforms,
   BASELINE.json:15).
 - writers: ``filewriter`` (writeMode append / truncate / nonConflict),
-  ``consolewriter`` (debug, W5). The CDC lake sink is the engine
-  itself (dx.engine / dx.main replay), not a job.json plugin.
+  ``consolewriter`` (debug, W5), ``rdbmswriter``/``mysqlwriter``/...
+  (W1 config parity via jdbc_writer_options). All writers honor
+  ``preSql``/``postSql`` statement lists (W4) around the write. The
+  CDC lake sink is the engine itself (dx.engine / dx.main replay),
+  not a job.json plugin.
 """
 
 from __future__ import annotations
@@ -56,6 +62,7 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
                 name=c.get("name"),
                 value=c.get("value"),
                 format=c.get("format"),
+                alias=c.get("alias"),
             )
             for c in p.get("column", [])
         ]
@@ -70,6 +77,39 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
             where=p.get("where"),
         )
         return read_file(spark, cfg)
+    if name in ("rdbmsreader", "mysqlreader", "postgresqlreader",
+                "oraclereader", "sqlserverreader"):
+        # S1/P3/R1: CommonRdbmsReader job shape. With a jdbcUrl this is
+        # the config-mapped JDBC scan (needs a reachable database); with
+        # none (or catalogMode) the same job runs against the Spark
+        # catalog — querySql via spark.sql (P3 pass-through, exercised
+        # end-to-end in tests), table via spark.table.
+        from dx.sources import jdbc_reader_options, read_query_sql
+
+        conn = (p.get("connection") or [{}])[0]
+        query_sql = (conn.get("querySql") or [None])[0]
+        jdbc_url = (conn.get("jdbcUrl") or [None])[0]
+        table = (conn.get("table") or [None])[0]
+        cols = [c for c in p.get("column", []) if isinstance(c, str)]
+        if jdbc_url and not p.get("catalogMode"):
+            bounds = p.get("splitBounds")
+            opts = jdbc_reader_options(
+                url=jdbc_url, table=table, query_sql=query_sql,
+                columns=cols or None, where=p.get("where"),
+                split_pk=p.get("splitPk"),
+                split_bounds=tuple(bounds) if bounds else None,
+                num_partitions=int(p.get("numPartitions", 1)),
+                fetch_size=int(p.get("fetchSize", 2048)),
+            )
+            return spark.read.format("jdbc").options(**opts).load()
+        if query_sql:
+            return read_query_sql(spark, query_sql)
+        df = spark.table(table)
+        if p.get("where"):
+            df = df.filter(p["where"])
+        if cols and cols != ["*"]:
+            df = df.select(*cols)
+        return df
     if name == "streamreader":
         n = int(p.get("sliceRecordCount", 100))
         df = spark.range(n)
@@ -120,9 +160,40 @@ def _transform(df: DataFrame, spec: dict) -> DataFrame:
     return df.withColumn(col_name, out)
 
 
+def _sql_hooks(spark: SparkSession, stmts: list[str] | None) -> None:
+    """W4 preSql/postSql: statements run around the write — against
+    the Spark catalog here (views/tables; the truncate-before-load /
+    analyze-after idiom); on a JDBC target the same list belongs in
+    the writer's session against the database."""
+    for s in stmts or []:
+        spark.sql(s)
+
+
 def _write(df: DataFrame, writer: dict) -> None:
     name = writer["name"]
     p = writer.get("parameter", {})
+    if name in ("rdbmswriter", "mysqlwriter", "postgresqlwriter",
+                "oraclewriter", "sqlserverwriter"):
+        # W1: config-level parity (no database in this sandbox). The
+        # option mapping itself is unit-tested; executing needs a DB.
+        from dx.sources import jdbc_writer_options
+
+        conn = (p.get("connection") or [{}])[0]
+        plan = jdbc_writer_options(
+            url=(conn.get("jdbcUrl") or [""])[0],
+            table=(conn.get("table") or [""])[0],
+            columns=[c for c in p.get("column", []) if isinstance(c, str)],
+            write_mode=p.get("writeMode", "insert"),
+            batch_size=int(p.get("batchSize", 2048)),
+        )
+        if plan["mode"] == "upsert":
+            raise ValueError(
+                f"writeMode {p.get('writeMode')!r} needs the upsert template "
+                f"({plan['upsert_sql']}) via foreachPartition, or the lake "
+                "MERGE path (dx.engine) — Spark's JDBC writer only INSERTs"
+            )
+        df.write.format("jdbc").options(**plan["options"]).mode(plan["mode"]).save()
+        return
     if name in ("filewriter", "txtfilewriter", "hdfswriter"):
         mode = {
             "append": "append",
@@ -152,12 +223,18 @@ def run_job(spark: SparkSession, config: dict) -> dict:
         df = _read(spark, content["reader"])
         for t in content.get("transformer", []):
             df = _transform(df, t)
-        # C9/E1 dirty-record accounting over required (cast) columns
+        # C9/E1 dirty-record accounting over required (cast) columns.
+        # Output naming must mirror ColumnSpec.expr (alias > name >
+        # c{index} > 'const'); constant/value columns cannot fail a
+        # cast, so marking one required is a no-op, not an error.
         required = [
-            c.get("name") or f"c{c.get('index')}"
+            c.get("alias") or c.get("name")
+            or (f"c{c['index']}" if c.get("index") is not None else None)
             for c in content["reader"].get("parameter", {}).get("column", [])
-            if c.get("required")
+            if isinstance(c, dict)  # rdbms readers list plain column names
+            and c.get("required") and c.get("value") is None
         ]
+        required = [r for r in required if r is not None and r in df.columns]
         n_dirty = 0
         if required:
             df, dirty = dirty_split(df, required)
@@ -170,7 +247,10 @@ def run_job(spark: SparkSession, config: dict) -> dict:
         if channels:
             df = df.repartition(channels)  # R3: channel count → parallelism
         n = df.count()
+        wp = content["writer"].get("parameter", {})
+        _sql_hooks(spark, wp.get("preSql"))   # W4: truncate-before-load etc.
         _write(df, content["writer"])
+        _sql_hooks(spark, wp.get("postSql"))  # W4: analyze-after etc.
         stats["contents"].append({"records_written": n, "dirty_records": n_dirty})
     return stats
 

@@ -90,12 +90,33 @@ class CommitConflict(RuntimeError):
     """Pointer moved between plan and commit (optimistic concurrency)."""
 
 
+# Recent-batch-id window carried in every snapshot (defense-in-depth
+# idempotence membership). The PRIMARY guard is the monotone watermark
+# (apply advances it to lsn_hi, so any applied batch fails the
+# lsn_hi > watermark test); the id set only exists to also absorb
+# pathological redeliveries, so a bounded recent window is sufficient
+# and keeps snapshot JSON O(1) regardless of run length.
+APPLIED_BATCH_CAP = 4096
+
+# Write fan-out: a bucket is sub-split into SUBTASK_SPREAD cells and a
+# bucket write runs WRITE_TASK_MULT × shuffle-partitions tasks, so one
+# slow/large bucket can't serialize a stage whose task count equals
+# the core count (the measured straggler term of the 8→32 scaling
+# pair). Cells are key-deterministic (hash(path)), so dedup windows
+# over (bucket, subtask) still see whole keys.
+SUBTASK_SPREAD = 8
+WRITE_TASK_MULT = 4
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self._meta_cache: dict | None = None
+        # instrumentation: snapshot-JSON file opens (tests assert the
+        # per-batch metadata cost stays O(1) as the chain grows)
+        self.meta_file_reads = 0
 
     # ------------------------------------------------------------------ paths
     @property
@@ -124,6 +145,7 @@ class LakeTable:
             "files": {},
             "deltas": {},
             "lineage": [],
+            "applied_batches": [],
             "row_count": 0,
             "applied_at": time.time(),
         }
@@ -144,6 +166,7 @@ class LakeTable:
                 sid = json.load(f)["snapshot_id"]
             with open(self._snap_path(sid)) as f:
                 self._meta_cache = json.load(f)
+            self.meta_file_reads += 1
         return self._meta_cache
 
     def columns(self) -> list[ColumnSpec]:
@@ -153,15 +176,26 @@ class LakeTable:
         return int(self.meta()["watermark"])
 
     def snapshot_chain(self) -> list[dict]:
-        """Walk parent links from the current snapshot to the root."""
+        """Walk parent links from the current snapshot toward the root.
+
+        O(chain) file reads — this is the lineage/time-travel EXPORT
+        surface, never on the per-batch hot path: the per-batch guards
+        (``watermark()``, ``applied_batch_ids()``) read ONLY the head
+        snapshot. The walk stops gracefully at the expire horizon
+        (``expire_snapshots`` GC removes old metadata files).
+        """
         out, meta = [], self.meta()
         while meta is not None:
             out.append(meta)
             pid = meta.get("parent_id")
             meta = None
             if pid is not None:
-                with open(self._snap_path(pid)) as f:
-                    meta = json.load(f)
+                try:
+                    with open(self._snap_path(pid)) as f:
+                        meta = json.load(f)
+                    self.meta_file_reads += 1
+                except FileNotFoundError:
+                    break  # ancestor expired by GC
         return out
 
     def lineage(self) -> list[dict]:
@@ -174,7 +208,30 @@ class LakeTable:
         return rows
 
     def applied_batch_ids(self) -> set[str]:
-        return {s["batch_id"] for s in self.snapshot_chain() if s.get("batch_id")}
+        """Recent applied batch ids — read from the HEAD snapshot only
+        (every commit appends its batch_id to a capped window carried
+        forward in the snapshot), O(1) file reads per call. Before this
+        the check walked every ancestor snapshot: O(batches) JSON reads
+        per batch, O(batches²) over a run — a driver-side scale killer
+        at 10^10 events in Δ-sized batches."""
+        return set(self.meta().get("applied_batches", []))
+
+    def _child(self, meta: dict, batch_id: str | None, **overrides) -> dict:
+        """Common child-snapshot construction: fresh id, parent link,
+        applied-batch window append (capped), commit timestamp."""
+        applied = list(meta.get("applied_batches", []))
+        if batch_id:
+            applied.append(batch_id)
+            applied = applied[-APPLIED_BATCH_CAP:]
+        return {
+            **meta,
+            "snapshot_id": f"s{uuid.uuid4().hex[:12]}",
+            "parent_id": meta["snapshot_id"],
+            "batch_id": batch_id,
+            "applied_batches": applied,
+            "applied_at": time.time(),
+            **overrides,
+        }
 
     def _write_snapshot(self, snap: dict, expected_parent: str | None) -> None:
         """Write snapshot json then atomically swap the pointer.
@@ -205,6 +262,24 @@ class LakeTable:
         repo = repo if repo is not None else F.col("repo")
         path = path if path is not None else F.col("path")
         return F.pmod(F.hash(repo, path), F.lit(self.n_buckets))
+
+    def with_subtask(self, df: DataFrame) -> DataFrame:
+        """Attach the write fan-out cell id (``__subtask``): a second,
+        finer hash of the key so one bucket spreads over
+        ``SUBTASK_SPREAD`` write tasks. Key-deterministic — every row
+        of a (repo, path) lands in the same (bucket, subtask) cell."""
+        return df.withColumn(
+            "__subtask", F.pmod(F.hash(F.col("path")), F.lit(SUBTASK_SPREAD))
+        )
+
+    def write_partitions(self, fanout: bool) -> int:
+        """Shuffle-partition count for bucket writes — the SAME formula
+        the engine's fused dedup shuffle uses, so the write repartition
+        collapses into the dedup exchange (one payload shuffle)."""
+        conf = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        if fanout:
+            return conf * WRITE_TASK_MULT
+        return min(self.n_buckets, conf)
 
     def _read_files(self, files: list[str], columns: list[ColumnSpec],
                     include_op: bool = False) -> DataFrame:
@@ -306,48 +381,50 @@ class LakeTable:
             cols = [c for c in cols if c.name != column]
         else:
             raise ValueError(f"unknown DDL action: {action}")
-        parent = meta["snapshot_id"]
-        snap = {
-            **meta,
-            "snapshot_id": f"s{uuid.uuid4().hex[:12]}",
-            "parent_id": parent,
-            "batch_id": batch_id,
-            "schema_version": meta["schema_version"] + 1,
-            "columns": [asdict(c) for c in cols],
-            "lineage": [],
-            "watermark": max(meta["watermark"], at_lsn or 0),
-            "applied_at": time.time(),
-        }
-        self._write_snapshot(snap, expected_parent=parent)
+        snap = self._child(
+            meta, batch_id,
+            schema_version=meta["schema_version"] + 1,
+            columns=[asdict(c) for c in cols],
+            lineage=[],
+            watermark=max(meta["watermark"], at_lsn or 0),
+        )
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         return snap["snapshot_id"]
 
     def checkpoint_watermark(self, batch_id: str, hi: int) -> str:
         """Metadata-only snapshot advancing the watermark (empty batch)."""
         meta = dict(self.meta())
-        parent = meta["snapshot_id"]
-        snap = {
-            **meta,
-            "snapshot_id": f"s{uuid.uuid4().hex[:12]}",
-            "parent_id": parent,
-            "batch_id": batch_id,
-            "lineage": [],
-            "watermark": max(int(meta["watermark"]), int(hi)),
-            "applied_at": time.time(),
-        }
-        self._write_snapshot(snap, expected_parent=parent)
+        snap = self._child(
+            meta, batch_id,
+            lineage=[],
+            watermark=max(int(meta["watermark"]), int(hi)),
+        )
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         return snap["snapshot_id"]
 
     # ---------------------------------------------------------------- write
     def _write_buckets(self, df: DataFrame, snapshot_id: str,
                        num_write_partitions: int | None = None) -> dict[str, list[str]]:
-        """Write df (with __bucket col) partitioned by bucket; return files map."""
+        """Write df (with __bucket col) partitioned by bucket; return files map.
+
+        NOTE (object stores): the post-write ``os.listdir`` discovery
+        below is valid only on a filesystem with read-after-write
+        listing (local FS/HDFS — this sandbox backend). On S3-class
+        stores the committed file list must come from the write job
+        itself (commit protocol manifest); the production path for
+        that is iceberg_backend.py, where Iceberg's commit does exactly
+        this. TODO if this backend ever targets an object store: return
+        file names from a task-side commit manifest instead of listing.
+        """
         out_dir = os.path.join(self.root, "data", snapshot_id)
-        shuffle_n = num_write_partitions or min(
-            self.n_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+        has_sub = "__subtask" in df.columns
+        shuffle_n = num_write_partitions or self.write_partitions(has_sub)
+        parts = ["__bucket"] + (["__subtask"] if has_sub else [])
+        out = df.repartition(shuffle_n, *parts)
+        if has_sub:
+            out = out.drop("__subtask")  # projection — partitioning kept
         (
-            df.repartition(shuffle_n, "__bucket")
-            .write.partitionBy("__bucket")
+            out.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -368,30 +445,25 @@ class LakeTable:
         sel += [F.col(n).cast(t).alias(n) for n, t in SYSTEM_COLUMNS]
         if include_op:
             sel.append(F.col("_op").cast("string").alias("_op"))
-        return df.select(*sel, F.col("__bucket"))
+        sel.append(F.col("__bucket"))
+        if "__subtask" in df.columns:
+            sel.append(F.col("__subtask"))
+        return df.select(*sel)
 
     def seed(self, df: DataFrame, batch_id: str = "seed") -> str:
         """Initial full load (all buckets written once)."""
         meta = self.meta()
         cols = self.columns()
-        parent = meta["snapshot_id"]
-        sid = f"s{uuid.uuid4().hex[:12]}"
-        data = df.withColumn("__bucket", self.bucket_expr())
+        snap = self._child(meta, batch_id, lineage=[])
+        sid = snap["snapshot_id"]
+        data = self.with_subtask(df.withColumn("__bucket", self.bucket_expr()))
         files = self._write_buckets(self._stored_select(data, cols), sid)
         row_count = int(
             self.spark.read.parquet(*[f for fl in files.values() for f in fl]).count()
         ) if files else 0
-        snap = {
-            **meta,
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "batch_id": batch_id,
-            "files": files,
-            "lineage": [],
-            "row_count": row_count,
-            "applied_at": time.time(),
-        }
-        self._write_snapshot(snap, expected_parent=parent)
+        snap["files"] = files
+        snap["row_count"] = row_count
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         return sid
 
     def merge(
@@ -428,9 +500,14 @@ class LakeTable:
         DataFrame with columns KEY. When given, dirty-bucket planning,
         the anti-join, and the change count all run against it — the
         full ``changes`` frame (which carries payload content) is then
-        evaluated exactly ONCE, in the bucket write; no persist, no
-        second pass over content bytes. This is the 100 TB path: the
-        key set of a CDC batch is MBs while its payload is GBs-TBs.
+        evaluated exactly ONCE, in the bucket write. When absent, the
+        planning frames are derived as NARROW projections of
+        ``changes`` (key + bucket columns only — Catalyst prunes the
+        payload out of those re-scans); the payload is still never
+        persisted and still materializes exactly once, in the write.
+        Full-frame persist() here was measured 5-10× slower on multi-GB
+        batches (defeats column pruning, thrashes GC) — see the module
+        lesson; the narrow re-scan is the 100 TB shape.
         """
         if mode == "mor":
             return self._merge_mor(
@@ -440,80 +517,70 @@ class LakeTable:
             )
         meta = self.meta()
         cols = self.columns()
-        parent = meta["snapshot_id"]
 
-        own_persist = keys is None
         if "__bucket" not in changes.columns:
             changes = changes.withColumn("__bucket", self.bucket_expr())
-        if own_persist:
-            changes = changes.persist()
-            key_set = changes.select(*KEY)
-            bucket_src = changes
+        if keys is None:
+            key_set = changes.select(*KEY)  # narrow: payload pruned
+            bucket_src = changes.select("__bucket")
         else:
             key_set = keys.select(*KEY)
-            bucket_src = key_set.withColumn("__bucket", self.bucket_expr())
-        try:
-            dirty = sorted(
-                r[0] for r in bucket_src.select("__bucket").distinct().collect()
-            )
-            dirty_s = [str(b) for b in dirty]
-            old = self._bucket_state(dirty_s, cols).withColumn(
-                "__bucket", self.bucket_expr()
-            )
+            bucket_src = key_set.select(self.bucket_expr().alias("__bucket"))
+        dirty = sorted(
+            r[0] for r in bucket_src.distinct().collect()
+        )
+        dirty_s = [str(b) for b in dirty]
+        old = self._bucket_state(dirty_s, cols).withColumn(
+            "__bucket", self.bucket_expr()
+        )
 
-            if broadcast_keys:
-                key_set = F.broadcast(key_set)
-            survivors = old.join(key_set, on=KEY, how="left_anti")
-            upserts = changes.filter(F.col("op") != "D").select(
-                *[F.col(c.name) for c in cols],
-                *[F.col(n) for n, _ in SYSTEM_COLUMNS],
-                F.col("__bucket"),
-            )
-            unioned = survivors.select(
-                *[F.col(c.name) for c in cols],
-                *[F.col(n) for n, _ in SYSTEM_COLUMNS],
-                F.col("__bucket"),
-            ).unionByName(upserts)
+        if broadcast_keys:
+            key_set = F.broadcast(key_set)
+        survivors = old.join(key_set, on=KEY, how="left_anti")
+        upserts = changes.filter(F.col("op") != "D").select(
+            *[F.col(c.name) for c in cols],
+            *[F.col(n) for n, _ in SYSTEM_COLUMNS],
+            F.col("__bucket"),
+        )
+        unioned = survivors.select(
+            *[F.col(c.name) for c in cols],
+            *[F.col(n) for n, _ in SYSTEM_COLUMNS],
+            F.col("__bucket"),
+        ).unionByName(upserts)
 
-            sid = f"s{uuid.uuid4().hex[:12]}"
-            new_files = self._write_buckets(
-                self._stored_select(unioned, cols), sid,
-                num_write_partitions=max(1, min(len(dirty), self.n_buckets)),
-            )
-            files = {b: fl for b, fl in meta["files"].items() if b not in dirty_s}
-            for b in dirty_s:
-                files[b] = new_files.get(b, [])  # bucket may be emptied by deletes
-            deltas = {
-                b: fl for b, fl in meta.get("deltas", {}).items() if b not in dirty_s
-            }  # dirty buckets' deltas are folded into the rewrite
-
-            if change_rows is None:
-                change_rows = (changes if own_persist else keys).count()
-            snap = {
-                **meta,
-                "snapshot_id": sid,
-                "parent_id": parent,
-                "batch_id": batch_id,
-                "files": files,
-                "deltas": deltas,
-                "lineage": lineage or [],
-                "watermark": max(int(meta["watermark"]), int(watermark_hi)),
-                "row_count": None,  # exact count maintained lazily; see read().count()
-                "applied_at": time.time(),
-                "merge_stats": {
-                    "dirty_buckets": len(dirty),
-                    "total_buckets": self.n_buckets,
-                    "change_rows": int(change_rows),
-                    "mode": "cow",
-                },
-            }
-            self._write_snapshot(snap, expected_parent=parent)
-            if crash_after_commit:
-                raise RuntimeError("injected crash after commit point (T3b)")
-            return sid
-        finally:
-            if own_persist:
-                changes.unpersist()
+        if change_rows is None:
+            # narrow count (key columns only) — never a payload pass
+            change_rows = (keys if keys is not None else key_set).count()
+        snap = self._child(
+            meta, batch_id,
+            lineage=lineage or [],
+            watermark=max(int(meta["watermark"]), int(watermark_hi)),
+            row_count=None,  # exact count maintained lazily; see read().count()
+            merge_stats={
+                "dirty_buckets": len(dirty),
+                "total_buckets": self.n_buckets,
+                "change_rows": int(change_rows),
+                "mode": "cow",
+            },
+        )
+        sid = snap["snapshot_id"]
+        new_files = self._write_buckets(
+            self._stored_select(self.with_subtask(unioned), cols), sid,
+            num_write_partitions=max(
+                1, min(len(dirty) * SUBTASK_SPREAD, self.write_partitions(True))
+            ),
+        )
+        files = {b: fl for b, fl in meta["files"].items() if b not in dirty_s}
+        for b in dirty_s:
+            files[b] = new_files.get(b, [])  # bucket may be emptied by deletes
+        snap["files"] = files
+        snap["deltas"] = {
+            b: fl for b, fl in meta.get("deltas", {}).items() if b not in dirty_s
+        }  # dirty buckets' deltas are folded into the rewrite
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
+        if crash_after_commit:
+            raise RuntimeError("injected crash after commit point (T3b)")
+        return sid
 
     def _merge_mor(
         self,
@@ -532,55 +599,61 @@ class LakeTable:
         folds deltas into the base."""
         meta = self.meta()
         cols = self.columns()
-        parent = meta["snapshot_id"]
-        sid = f"s{uuid.uuid4().hex[:12]}"
+        snap = self._child(
+            meta, batch_id,
+            lineage=lineage or [],
+            watermark=max(int(meta["watermark"]), int(watermark_hi)),
+            row_count=None,
+        )
+        sid = snap["snapshot_id"]
 
-        # a caller may pre-bucket (engine's bucket-window dedup);
-        # re-adding would mint a fresh attribute and defeat the
+        # a caller may pre-bucket/pre-subtask (engine's bucket-window
+        # dedup); re-adding would mint fresh attributes and defeat the
         # exchange reuse that makes that path one-shuffle.
         data = (
             changes if "__bucket" in changes.columns
-            else changes.withColumn("__bucket", self.bucket_expr())
+            else self.with_subtask(changes.withColumn("__bucket", self.bucket_expr()))
         )
         stored = self._stored_select(
             data.withColumn("_op", F.col("op")), cols, include_op=True
         )
+        # count the written rows DURING the write action (Observation:
+        # an accumulator evaluated inline) — no second pass, not even a
+        # parquet-footer read job.
+        from pyspark.sql import Observation
+
+        obs = Observation() if change_rows is None else None
+        if obs is not None:
+            stored = stored.observe(obs, F.count(F.lit(1)).alias("rows"))
         new_files = self._write_buckets(stored, sid)
         deltas = {b: list(fl) for b, fl in meta.get("deltas", {}).items()}
         for b, fl in new_files.items():
             deltas.setdefault(b, []).extend(fl)
 
         if change_rows is None:
-            # parquet footer row-counts only — no data scan
-            written = [f for fl in new_files.values() for f in fl]
-            change_rows = (
-                int(self.spark.read.parquet(*written).count()) if written else 0
-            )
-        snap = {
-            **meta,
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "batch_id": batch_id,
-            "deltas": deltas,
-            "lineage": lineage or [],
-            "watermark": max(int(meta["watermark"]), int(watermark_hi)),
-            "row_count": None,
-            "applied_at": time.time(),
-            "merge_stats": {
-                "dirty_buckets": len(new_files),
-                "total_buckets": self.n_buckets,
-                "change_rows": int(change_rows),
-                "mode": "mor",
-            },
+            change_rows = int(obs.get["rows"]) if new_files else 0
+        snap["deltas"] = deltas
+        snap["merge_stats"] = {
+            "dirty_buckets": len(new_files),
+            "total_buckets": self.n_buckets,
+            "change_rows": int(change_rows),
+            "mode": "mor",
         }
-        self._write_snapshot(snap, expected_parent=parent)
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         if crash_after_commit:
             raise RuntimeError("injected crash after commit point (T3b)")
         return sid
 
     def delta_depth(self) -> dict[str, int]:
-        """Outstanding delta-file count per bucket (compaction signal)."""
-        return {b: len(fl) for b, fl in self.meta().get("deltas", {}).items() if fl}
+        """Outstanding delta BATCHES per bucket (compaction signal) —
+        distinct writing snapshots, not raw file count: a fanned-out
+        write lands several files per bucket in one batch, and read
+        amplification scales with reconcile layers, not file handles."""
+        out: dict[str, int] = {}
+        for b, fl in self.meta().get("deltas", {}).items():
+            if fl:
+                out[b] = len({f.rsplit("/data/", 1)[1].split("/")[0] for f in fl})
+        return out
 
     def compact(self, buckets: list[str] | None = None,
                 batch_id: str | None = None) -> str | None:
@@ -590,38 +663,80 @@ class LakeTable:
         pure state rewrite, watermark and lineage untouched."""
         meta = self.meta()
         cols = self.columns()
-        parent = meta["snapshot_id"]
         all_delta = [b for b, fl in meta.get("deltas", {}).items() if fl]
         target = [b for b in (buckets if buckets is not None else all_delta)
                   if meta.get("deltas", {}).get(b)]
         if not target:
             return None
-        sid = f"s{uuid.uuid4().hex[:12]}"
-        state = self._bucket_state(target, cols).withColumn(
-            "__bucket", self.bucket_expr()
+        snap = self._child(
+            meta, None,
+            lineage=[],
+            merge_stats={
+                "compacted_buckets": len(target),
+                "total_buckets": self.n_buckets,
+                "mode": "compact",
+            },
+        )
+        sid = snap["snapshot_id"]
+        snap["batch_id"] = batch_id or f"compact-{sid}"
+        state = self.with_subtask(
+            self._bucket_state(target, cols).withColumn(
+                "__bucket", self.bucket_expr()
+            )
         )
         new_files = self._write_buckets(
             self._stored_select(state, cols), sid,
-            num_write_partitions=max(1, min(len(target), self.n_buckets)),
+            num_write_partitions=max(
+                1, min(len(target) * SUBTASK_SPREAD, self.write_partitions(True))
+            ),
         )
         files = dict(meta["files"])
         deltas = {b: fl for b, fl in meta.get("deltas", {}).items() if b not in target}
         for b in target:
             files[b] = new_files.get(b, [])
-        snap = {
-            **meta,
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "batch_id": batch_id or f"compact-{sid}",
-            "files": files,
-            "deltas": deltas,
-            "lineage": [],
-            "applied_at": time.time(),
-            "merge_stats": {
-                "compacted_buckets": len(target),
-                "total_buckets": self.n_buckets,
-                "mode": "compact",
-            },
-        }
-        self._write_snapshot(snap, expected_parent=parent)
+        snap["files"] = files
+        snap["deltas"] = deltas
+        self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         return sid
+
+    def expire_snapshots(self, keep_last: int = 100) -> dict:
+        """Metadata + data GC — Iceberg's ``expire_snapshots``.
+
+        Deletes snapshot JSON files beyond the newest ``keep_last`` of
+        the chain, and any data file referenced by NO kept snapshot
+        (kept snapshots stay time-travelable; the chain walk stops at
+        the expire horizon). Bounds metadata growth: without this a
+        long-running stream accumulates one JSON per batch forever.
+        Safe any time — the head snapshot and everything it references
+        are never touched, and a crash mid-GC only leaves orphans for
+        the next GC pass.
+        """
+        chain = self.snapshot_chain()
+        keep, drop = chain[:keep_last], chain[keep_last:]
+        referenced: set[str] = set()
+        for s in keep:
+            for fl in s.get("files", {}).values():
+                referenced.update(fl)
+            for fl in s.get("deltas", {}).values():
+                referenced.update(fl)
+        removed_meta = removed_data = 0
+        for s in drop:
+            try:
+                os.remove(self._snap_path(s["snapshot_id"]))
+                removed_meta += 1
+            except FileNotFoundError:
+                pass
+        data_root = os.path.join(self.root, "data")
+        for snap_dir in os.listdir(data_root):
+            d = os.path.join(data_root, snap_dir)
+            for bucket_dir in os.listdir(d):
+                bd = os.path.join(d, bucket_dir)
+                if not os.path.isdir(bd):
+                    continue
+                for fname in os.listdir(bd):
+                    p = os.path.join(bd, fname)
+                    if fname.endswith(".parquet") and p not in referenced:
+                        os.remove(p)
+                        removed_data += 1
+        return {"kept_snapshots": len(keep), "expired_snapshots": removed_meta,
+                "removed_data_files": removed_data}

@@ -120,9 +120,28 @@ def lsh_bucket_stats(df: DataFrame, **kw) -> DataFrame:
 
 
 def candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                    **kw) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+                    max_bucket_size: int | None = 1000, **kw) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+
+    ``max_bucket_size`` caps the within-bucket self-join: a degenerate
+    bucket (boilerplate cluster — every near-identical license header
+    lands in one band hash) would otherwise make the join quadratic in
+    that bucket's size and serialize one reducer at 100 TB. Buckets
+    above the cap are DROPPED from pair generation (their members are
+    exact-dup-shaped anyway — route them to exact_clusters, which is
+    linear); use :func:`oversize_buckets` to count/log what was
+    skipped, so the cap is never a silent coverage hole. ``None``
+    disables the cap.
+    """
     b = lsh_buckets(df, text_col, id_col, **kw)
+    if max_bucket_size is not None:
+        ok = (
+            b.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        b = b.join(ok, ["band_idx", "band_hash"], "left_semi")
     a = b.alias("a")
     c = b.alias("b")
     return (
@@ -139,17 +158,52 @@ def candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
-    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs.
+def oversize_buckets(df: DataFrame, max_bucket_size: int,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     **kw) -> DataFrame:
+    """The buckets candidate_pairs would skip at the given cap — the
+    monitoring/logging side of the cap (band_idx, band_hash, n_docs)."""
+    return (
+        lsh_buckets(df, text_col, id_col, **kw)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
 
-    Shingle sets are computed per side and joined to the pair list —
-    two broadcast-able joins at candidate scale.
-    """
-    sets_df = df.select(
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 shingle_n: int = 2) -> DataFrame:
+    """(id, distinct word-n-gram set) — the exact-Jaccard feature frame."""
+    return df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2,
+                  materialize: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs.
+
+    Scale shape (VERDICT r1): only docs that appear in a pair are
+    shingled (semi-join first — the candidate set after LSH is a tiny
+    fraction of the corpus), and with ``materialize=True`` the shingle
+    sets are computed ONCE and cached for the two pair-side joins
+    instead of re-shingling every doc per side. The cached frame is
+    (id, shingle array) — a computed feature, small relative to the
+    corpus; at full 100 TB scale, write it to a temp parquet instead
+    and let both joins scan that (the caller owns that materialization
+    choice; ``materialize=False`` keeps the plan pure).
+    """
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.join(ids, id_col, "left_semi")
+    sets_df = shingle_sets(docs, text_col, id_col, shingle_n)
+    if materialize:
+        sets_df = sets_df.persist()
     out = (
         pairs.join(sets_df.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets_df.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
     "doc_id long, payload_len int, format string, width int, height int, "
-    "feature_sha string"
+    "feature_sha string, feature_md5 string"
 )
 
 
@@ -66,6 +66,14 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "height": pd.Series([m[2] for m in meta], dtype="int32"),
                 "feature_sha": [
                     hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                ],
+                # md5 over the lowercase-hex form of the bytes: the
+                # oracle-able fingerprint (DuckDB's md5 is VARCHAR-only,
+                # and hex(payload) == the md5-hex the payload was minted
+                # from, so SQL reproduces this as md5(md5(text))).
+                "feature_md5": [
+                    hashlib.md5(p.hex().encode()).hexdigest()
+                    for p in pdf["payload"]
                 ],
             }
         )

@@ -19,6 +19,7 @@ Determinism contract with the oracle (value-hash equality):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -727,6 +728,206 @@ def rel_percentile(spark, sf_dir):
         F.floor(F.expr("percentile(o_totalprice, 0.9)") * 100).cast("long").alias("p90_cents"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "rel_asof_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id AS asof_lsn,
+           e.event_type AS last_type,
+           floor(e.value * 100)::BIGINT AS last_value_cents
+    FROM orders o ASOF JOIN events e
+      ON o.o_custkey = e.user_id AND e.event_id <= o.o_orderkey
+    """,
+)
+def rel_asof_join(spark, sf_dir):
+    """§2.7 as-of join (dx/joins.py): per order, the latest change
+    event of that key at-or-before the probe LSN — "state as of T",
+    the temporal-join core of a changelog engine. Union-window form:
+    one shuffle of |probe|+|build|, no nested-loop inequality join."""
+    from dx.joins import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id")
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("event_id").alias("asof_lsn"),
+        F.col("event_type").alias("last_type"),
+        CENTS(F.col("value")).alias("last_value_cents"),
+    )
+    out = asof_join(
+        o, e, on=["user_id"], left_on="o_orderkey", right_on="event_id",
+        value_cols=["asof_lsn", "last_type", "last_value_cents"],
+    )
+    # inner semantics to match DuckDB's ASOF JOIN (drop unmatched probes)
+    return out.filter(F.col("asof_lsn").isNotNull())
+
+
+@query(
+    "rel_interval_join",
+    """
+    SELECT r.i AS band, count(*) AS n_orders,
+           CAST(sum(floor(o_totalprice * 100)::BIGINT) AS BIGINT) AS price_cents
+    FROM orders o, range(0, 10) r(i)
+    WHERE o.o_totalprice >= i * 40000 AND o.o_totalprice < i * 40000 + 80000
+    GROUP BY r.i
+    """,
+)
+def rel_interval_join(spark, sf_dir):
+    """§2.7 interval/range join (dx/joins.py): orders against
+    OVERLAPPING price bands [i·40k, i·40k+80k) — each point matches ≤2
+    intervals. Bin-quantized: the range predicate becomes an equi-join
+    on the bin id + residual filter, never a nested-loop join."""
+    from dx.joins import interval_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 40000.0).alias("lo"),
+        (F.col("id") * 40000.0 + 80000.0).alias("hi"),
+    )
+    joined = interval_join(
+        o, bands, point_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bin_size=40000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(CENTS(F.col("o_totalprice"))).alias("price_cents"),
+    )
+
+
+@query(
+    "cdc_schema_evolution",
+    """
+    SELECT event_id, user_id,
+           (CASE WHEN event_id > 500 THEN 1 ELSE 0 END)::BIGINT AS schema_version,
+           CASE WHEN event_id > 500
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_evolved
+    FROM events
+    """,
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """X4 schema-evolution READ semantics: a column added by DDL at
+    LSN 500 materializes from the payload for post-DDL rows and reads
+    as a typed NULL for rows written under the old schema — exactly
+    how LakeTable._read_files surfaces files that predate a field id
+    (the engine-true DDL path is pytest T5 + the property suite;
+    this row value-gates the projection semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    post = F.col("event_id") > 500
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        F.when(post, 1).otherwise(0).cast("long").alias("schema_version"),
+        F.when(post, k).alias("k_evolved"),
+    )
+
+
+@query(
+    "cdc_lineage_manifest",
+    """
+    WITH params AS (
+      SELECT max(event_id) + 1 AS head, (max(event_id) + 4) // 4 AS delta
+      FROM events),
+    b AS (
+      SELECT e.user_id, e.event_id + 1 AS lsn,
+             (e.event_id // p.delta) AS bi, p.delta AS delta, p.head AS head
+      FROM events e, params p)
+    SELECT 'b' || (bi * delta + 1)::VARCHAR || '-'
+               || least((bi + 1) * delta, head)::VARCHAR AS batch_id,
+           (user_id % 8)::BIGINT AS source_partition,
+           min(lsn) AS lsn_lo, max(lsn) AS lsn_hi,
+           0::BIGINT AS schema_version, count(*) AS row_count
+    FROM b GROUP BY 1, 2
+    """,
+)
+def cdc_lineage_manifest(spark, sf_dir):
+    """X8 lineage/manifest, ENGINE-TRUE: map events to a changelog
+    (lsn = event_id+1, key = user_id, 8 source partitions), replay it
+    through the real ReplayEngine into a scratch LakeTable in 4
+    micro-batches, then reconstruct the commit manifest from the
+    snapshot chain (dx/manifest.py). The oracle recomputes the
+    per-(batch, partition) LSN ranges + row counts the engine must
+    have recorded — the deterministic columns of FIXTURES.md F3
+    (snapshot ids / timestamps are per-run and excluded)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from dx import manifest as mf
+    from dx.engine import ReplayEngine
+    from dx.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.lit(0).cast("long").alias("batch_seq"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("ddl_action"),
+        F.lit(None).cast("string").alias("ddl_column"),
+        F.lit(None).cast("string").alias("ddl_type"),
+        F.col("ts").alias("event_ts"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"dx_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=8)
+    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    ReplayEngine(spark, table, changelog, delta=(head + 3) // 4).run()
+    m = mf.manifest_df(spark, table)
+    return m.select(
+        "batch_id",
+        F.col("source_partition").cast("long").alias("source_partition"),
+        "lsn_lo", "lsn_hi",
+        F.col("schema_version").cast("long").alias("schema_version"),
+        "row_count",
+    )
+
+
+_QUERYSQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "min(o_orderkey) AS first_key, max(o_orderkey) AS last_key "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+
+@query("dx_querysql", _QUERYSQL)
+def dx_querysql(spark, sf_dir):
+    """P3 querySql pass-through, EXECUTED end-to-end: the job's SQL
+    text goes to spark.sql verbatim (dx/sources.py read_query_sql) —
+    the oracle is the IDENTICAL string, so pass-through fidelity is
+    the thing being hashed."""
+    from dx.sources import read_query_sql
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return read_query_sql(spark, _QUERYSQL)
+
+
+@query("cdc_skew_approx")  # rows-only: HLL estimates are engine-specific
+def cdc_skew_approx(spark, sf_dir):
+    """R4/§2.7 approx-sketch skew profile: approx_count_distinct
+    (HyperLogLog++) distinct-key counts per group — the one-pass O(1)-
+    state salting-decision input (dx/skew.py repo_key_stats). No SQL
+    oracle on purpose: HLL estimates differ across engines; pytest
+    bounds the estimate against the exact count instead."""
+    from dx import skew
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+    )
+    return skew.repo_key_stats(ev)
 
 
 # =====================================================================

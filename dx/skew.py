@@ -13,22 +13,53 @@ Detection uses a cheap partial-aggregated count (one tiny shuffle of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def hot_repos(df: DataFrame, frac_threshold: float = 0.10, repo_col: str = "repo") -> list[str]:
     """Repos holding more than ``frac_threshold`` of the batch's rows.
 
-    The groupBy count is map-side combined; the collect moves only
-    per-repo counts (bounded by the repo universe, not data size).
+    ONE action, one data pass: the groupBy count is map-side combined
+    (the shuffle moves |repos| rows, not data rows), and the batch
+    total is derived from those same per-repo counts via an empty-
+    partition window — no second count() job over the data. The
+    single-partition window is over |repos| rows only (bounded by the
+    repo universe), never over event rows.
     """
     counts = df.groupBy(repo_col).count()
-    total = df.count()
-    if total == 0:
-        return []
-    rows = counts.filter(F.col("count") > frac_threshold * total).collect()
+    total = F.sum("count").over(Window.partitionBy())
+    rows = (
+        counts.withColumn("__total", total)
+        .filter(F.col("count") > frac_threshold * F.col("__total"))
+        .collect()
+    )
     return [r[repo_col] for r in rows]
+
+
+def repo_key_stats(df: DataFrame, repo_col: str = "repo", path_col: str = "path",
+                   approx: bool = True, rsd: float = 0.05) -> DataFrame:
+    """Per-repo skew profile: event count + distinct-key count.
+
+    ``approx=True`` uses ``approx_count_distinct`` (HyperLogLog++, one
+    pass, O(1) state per repo) — at 10^10 events an exact distinct
+    would shuffle every (repo, path) pair just to plan salting, while
+    the HLL sketch rides the same map-side combine as the count. The
+    interesting signal is ``events_per_key``: a repo with many events
+    over FEW distinct paths is per-key hot (salting can't split one
+    key; maxby partial-combine handles it), while many events over
+    many paths is spread by the bucket hash for free.
+    """
+    distinct = (
+        F.approx_count_distinct(path_col, rsd) if approx
+        else F.countDistinct(path_col)
+    )
+    n = F.count("*")
+    return df.groupBy(repo_col).agg(
+        n.alias("n_events"),
+        distinct.alias("n_keys"),
+        F.floor(n * 100 / distinct).cast("long").alias("events_per_key_x100"),
+    )
 
 
 def with_salt(df: DataFrame, hot: list[str], n_salts: int = 16,

@@ -174,3 +174,67 @@ def jdbc_reader_options(
 def read_jdbc(spark: SparkSession, **kw) -> DataFrame:
     """Apply jdbc_reader_options verbatim (needs a reachable database)."""
     return spark.read.format("jdbc").options(**jdbc_reader_options(**kw)).load()
+
+
+def jdbc_writer_options(
+    url: str,
+    table: str,
+    columns: list[str] | None = None,
+    write_mode: str = "insert",
+    batch_size: int = 2048,
+) -> dict:
+    """W1: CommonRdbmsWriter config → the Spark JDBC write plan.
+
+    Returns ``{"mode": <df.write mode>, "options": {...},
+    "upsert_sql": <str|None>}``:
+
+    - ``insert`` → plain batched INSERT: ``df.write.format("jdbc")
+      .options(**options).mode(mode).save()`` (Spark's writer issues
+      executeBatch of ``batchsize`` rows per partition — exactly
+      DataX's batchSize chunking, one connection per channel/task).
+    - ``truncate`` → overwrite with ``truncate=true`` (TRUNCATE +
+      INSERT, table not dropped — preserves grants/indexes, the DataX
+      preSql-truncate idiom as a first-class mode).
+    - ``replace`` / ``update`` → the returned ``upsert_sql`` is the
+      per-row statement template (MySQL ``REPLACE INTO`` /
+      ``INSERT ... ON DUPLICATE KEY UPDATE``, †writeMode semantics) to
+      run via ``df.foreachPartition`` + executemany, because Spark's
+      built-in JDBC writer only INSERTs. At lake scale the engine's
+      MERGE (dx/lake.py, X3) IS the replace/update path — this
+      template exists for porting small dimension-table jobs verbatim.
+
+    No database exists in this sandbox, so (like jdbc_reader_options)
+    this is pure config mapping, unit-tested as a dict.
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": "READ_COMMITTED",
+    }
+    cols = columns or []
+    collist = ", ".join(cols)
+    qs = ", ".join("?" for _ in cols)
+    if write_mode == "insert":
+        return {"mode": "append", "options": opts, "upsert_sql": None}
+    if write_mode == "truncate":
+        return {"mode": "overwrite", "options": {**opts, "truncate": "true"},
+                "upsert_sql": None}
+    if write_mode == "replace":
+        sql = f"REPLACE INTO {table} ({collist}) VALUES ({qs})"
+        return {"mode": "upsert", "options": opts, "upsert_sql": sql}
+    if write_mode == "update":
+        updates = ", ".join(f"{c} = VALUES({c})" for c in cols)
+        sql = (f"INSERT INTO {table} ({collist}) VALUES ({qs}) "
+               f"ON DUPLICATE KEY UPDATE {updates}")
+        return {"mode": "upsert", "options": opts, "upsert_sql": sql}
+    raise ValueError(f"unknown writeMode: {write_mode}")
+
+
+def read_query_sql(spark: SparkSession, query_sql: str) -> DataFrame:
+    """P3 querySql pass-through against the Spark catalog: a DataX job
+    whose reader declares ``querySql`` runs that text as the plan. On a
+    JDBC source the same string goes into the ``query`` option
+    (jdbc_reader_options); against lake/warehouse tables it is
+    ``spark.sql`` — either way the user's SQL is the source, verbatim."""
+    return spark.sql(query_sql)

@@ -91,7 +91,9 @@ def windowed_event_counts(stream, window: str = "1 minute",
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            # round, not floor: a double like 0.29 is stored as
+            # 0.28999...; floor(x*100) would silently lose a cent.
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),

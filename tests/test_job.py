@@ -111,3 +111,121 @@ def test_job_groovy_rejected_with_guidance(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="pandas UDF"):
         run_job(spark, config)
+
+def test_job_presql_postsql_hooks(spark, tmp_path):
+    """W4: preSql runs before the write (truncate-before-load idiom),
+    postSql after (analyze-after idiom) — here against the catalog."""
+    out = str(tmp_path / "w4_out")
+    spark.sql("DROP VIEW IF EXISTS dx_w4_pre")
+    spark.sql("DROP VIEW IF EXISTS dx_w4_post")
+    config = {
+        "job": {"content": [{
+            "reader": {"name": "streamreader", "parameter": {
+                "sliceRecordCount": 5,
+                "column": [{"type": "long"}],
+            }},
+            "writer": {"name": "filewriter", "parameter": {
+                "path": out, "writeMode": "truncate",
+                "preSql": ["CREATE OR REPLACE TEMP VIEW dx_w4_pre AS SELECT 1 AS ok"],
+                "postSql": ["CREATE OR REPLACE TEMP VIEW dx_w4_post AS SELECT 2 AS ok"],
+            }},
+        }]}
+    }
+    run_job(spark, config)
+    assert spark.table("dx_w4_pre").collect()[0]["ok"] == 1
+    assert spark.table("dx_w4_post").collect()[0]["ok"] == 2
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_job_rdbmsreader_querysql_catalog(spark, tmp_path):
+    """P3: a rdbmsreader job with querySql executes the SQL text
+    verbatim (catalog mode — no jdbcUrl), end-to-end into a writer."""
+    out = str(tmp_path / "p3_out")
+    spark.range(100).selectExpr("id", "id * 2 AS dbl").createOrReplaceTempView(
+        "dx_p3_src"
+    )
+    config = {
+        "job": {"content": [{
+            "reader": {"name": "rdbmsreader", "parameter": {
+                "connection": [{
+                    "querySql": ["SELECT id, dbl FROM dx_p3_src WHERE id < 10"],
+                }],
+            }},
+            "writer": {"name": "filewriter", "parameter": {"path": out}},
+        }]}
+    }
+    stats = run_job(spark, config)
+    assert stats["contents"][0]["records_written"] == 10
+    assert spark.read.parquet(out).agg({"dbl": "max"}).collect()[0][0] == 18
+
+
+def test_job_rdbmsreader_table_where_catalog(spark, tmp_path):
+    """S1 table+column+where job shape in catalog mode."""
+    out = str(tmp_path / "s1_out")
+    spark.range(50).selectExpr("id", "id % 5 AS g").createOrReplaceTempView(
+        "dx_s1_src"
+    )
+    config = {
+        "job": {"content": [{
+            "reader": {"name": "mysqlreader", "parameter": {
+                "connection": [{"table": ["dx_s1_src"]}],
+                "column": ["id", "g"],
+                "where": "g = 0",
+            }},
+            "writer": {"name": "filewriter", "parameter": {"path": out}},
+        }]}
+    }
+    stats = run_job(spark, config)
+    assert stats["contents"][0]["records_written"] == 10
+
+
+def test_jdbc_writer_options_mapping():
+    """W1: CommonRdbmsWriter writeMode → Spark JDBC write plan."""
+    from dx.sources import jdbc_writer_options
+
+    ins = jdbc_writer_options("jdbc:mysql://h/db", "t", ["a", "b"], "insert", 512)
+    assert ins["mode"] == "append" and ins["upsert_sql"] is None
+    assert ins["options"]["batchsize"] == "512"
+    assert ins["options"]["dbtable"] == "t"
+
+    tr = jdbc_writer_options("jdbc:mysql://h/db", "t", ["a"], "truncate")
+    assert tr["mode"] == "overwrite" and tr["options"]["truncate"] == "true"
+
+    rep = jdbc_writer_options("jdbc:mysql://h/db", "t", ["a", "b"], "replace")
+    assert rep["upsert_sql"] == "REPLACE INTO t (a, b) VALUES (?, ?)"
+
+    upd = jdbc_writer_options("jdbc:mysql://h/db", "t", ["a", "b"], "update")
+    assert "ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)" in upd["upsert_sql"]
+
+    with pytest.raises(ValueError, match="writeMode"):
+        jdbc_writer_options("u", "t", [], "bogus")
+
+
+def test_job_required_constant_column_not_dirty(spark, tmp_path):
+    """ADVICE r1: a required constant/value column must not break the
+    dirty split (it can never fail a cast) and an aliased column's
+    required check must use the alias."""
+    src = str(tmp_path / "req_src")
+    spark.createDataFrame(
+        [("1",), ("x",), ("3",)], "v string"
+    ).coalesce(1).write.mode("overwrite").csv(src)
+    out = str(tmp_path / "req_out")
+    config = {
+        "job": {
+            "setting": {"errorLimit": {"record": 5}},
+            "content": [{
+                "reader": {"name": "filereader", "parameter": {
+                    "path": src, "fileType": "csv",
+                    "column": [
+                        {"index": 0, "type": "long", "alias": "num",
+                         "required": True},
+                        {"type": "string", "value": "tag", "required": True},
+                    ],
+                }},
+                "writer": {"name": "filewriter", "parameter": {"path": out}},
+            }],
+        }
+    }
+    stats = run_job(spark, config)
+    assert stats["contents"][0]["dirty_records"] == 1   # 'x' fails the cast
+    assert stats["contents"][0]["records_written"] == 2

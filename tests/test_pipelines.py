@@ -120,7 +120,8 @@ def test_multimodal_decode_plumbing(docs):
     out = pmm.decode_documents(docs)
     rows = {r["doc_id"]: r for r in out.collect()}
     assert set(out.columns) == {
-        "doc_id", "payload_len", "format", "width", "height", "feature_sha"
+        "doc_id", "payload_len", "format", "width", "height",
+        "feature_sha", "feature_md5",
     }
     assert all(r["payload_len"] == 16 for r in rows.values())
     assert all(1 <= r["width"] <= 640 and 1 <= r["height"] <= 480 for r in rows.values())
@@ -129,3 +130,45 @@ def test_multimodal_decode_plumbing(docs):
     # determinism across runs
     again = {r["doc_id"]: r["feature_sha"] for r in pmm.decode_documents(docs).collect()}
     assert again == {k: r["feature_sha"] for k, r in rows.items()}
+    # feature hashes cross-checked against hashlib on the known payload
+    import hashlib
+
+    payload = bytes.fromhex(hashlib.md5(BASE.encode()).hexdigest())
+    assert rows[0]["feature_sha"] == hashlib.sha256(payload).hexdigest()
+    assert rows[0]["feature_md5"] == hashlib.md5(payload.hex().encode()).hexdigest()
+
+
+def test_fingerprint_df_matches_column_form(docs, spark):
+    """The explode→min-agg scale form must equal the interpreted
+    array_min spec form, including the NULL-for-short-doc case."""
+    with_short = docs.union(
+        spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
+    )
+    spec = {r["doc_id"]: r["fp"] for r in with_short.select(
+        "doc_id", ptext.fingerprint(F.col("text")).alias("fp")).collect()}
+    fast = {r["doc_id"]: r["fp"] for r in
+            ptext.fingerprint_df(with_short).collect()}
+    assert fast == spec
+    assert fast[9] is None
+
+
+def test_candidate_pairs_bucket_cap(docs, spark):
+    """A degenerate bucket above the cap is excluded from pair gen and
+    surfaced by oversize_buckets instead of going quadratic."""
+    clones = spark.createDataFrame(
+        [(100 + i, BASE) for i in range(6)], "doc_id long, text string"
+    )
+    crowd = docs.union(clones)  # 8 copies of BASE → every BASE band bucket has 8 docs
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in pdedup.candidate_pairs(crowd, max_bucket_size=4).collect()
+    }
+    assert not any(a in (0, 3) or a >= 100 for a, b in capped)  # clones dropped
+    over = pdedup.oversize_buckets(crowd, max_bucket_size=4).collect()
+    assert over and all(r["n_docs"] >= 8 for r in over)  # NEAR may join a band
+    # uncapped still finds them (cap=None disables)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in pdedup.candidate_pairs(crowd, max_bucket_size=None).collect()
+    }
+    assert (0, 3) in full and (100, 101) in full

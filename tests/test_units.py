@@ -204,3 +204,30 @@ def test_optimistic_commit_conflict(spark, tmp_path):
     with pytest.raises(CommitConflict):
         t2._write_snapshot(snap, expected_parent=m2["snapshot_id"])
     assert t1.watermark() == 10  # winner's state intact
+
+
+def test_iceberg_backend_signature_parity():
+    """IcebergTable (unrunnable here — no jars) must stay call-compatible
+    with LakeTable for every method ReplayEngine/manifest invoke, so a
+    cluster deployment can't die on a TypeError the sandbox never sees."""
+    import inspect
+
+    from dx.iceberg_backend import IcebergTable
+    from dx.lake import LakeTable
+
+    for meth in ("merge", "alter", "checkpoint_watermark", "compact",
+                 "read", "meta", "watermark", "delta_depth",
+                 "applied_batch_ids", "snapshot_chain", "bucket_expr"):
+        lake_fn = getattr(LakeTable, meth)
+        ice_fn = getattr(IcebergTable, meth)
+        lake_params = inspect.signature(lake_fn).parameters
+        ice_params = inspect.signature(ice_fn).parameters
+        # every parameter the engine can pass to LakeTable must be
+        # accepted by IcebergTable (same name; extras must have defaults)
+        for name in lake_params:
+            assert name in ice_params, f"{meth}() missing param {name!r}"
+        for name, p in ice_params.items():
+            if name not in lake_params:
+                assert p.default is not inspect.Parameter.empty, (
+                    f"{meth}() extra required param {name!r}"
+                )
