@@ -122,6 +122,7 @@ class ReplayEngine:
         self.compact_threshold = compact_threshold
         self.broadcast_key_limit = broadcast_key_limit
         self._max_lsn: int | None = None
+        self._ddls: list | None = None
 
     # ----------------------------------------------------------------- utils
     def max_lsn(self) -> int:
@@ -130,6 +131,21 @@ class ReplayEngine:
                 self.changelog.agg(F.max("lsn").alias("m")).collect()[0]["m"] or 0
             )
         return self._max_lsn
+
+    def ddl_events(self) -> list:
+        """All DDL events of the changelog, ONCE per engine (the
+        changelog frame is immutable): one narrow scan for the whole
+        replay instead of one per micro-batch — at Δ-sized batches over
+        10^10 events the per-batch DDL scan was a serial job on every
+        batch's critical path."""
+        if self._ddls is None:
+            self._ddls = sorted(
+                self.changelog.filter(F.col("op") == "DDL")
+                .select("lsn", "ddl_action", "ddl_column", "ddl_type")
+                .collect(),
+                key=lambda r: r["lsn"],
+            )
+        return self._ddls
 
     def _emit(self, m: BatchMetrics) -> None:
         line = json.dumps(m.__dict__)
@@ -226,12 +242,7 @@ class ReplayEngine:
         """Apply events with lsn ∈ (lo, hi], splitting at DDL boundaries."""
         out: list[BatchMetrics] = []
         window = self.changelog.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        ddls = sorted(
-            window.filter(F.col("op") == "DDL")
-            .select("lsn", "ddl_action", "ddl_column", "ddl_type")
-            .collect(),
-            key=lambda r: r["lsn"],
-        )
+        ddls = [d for d in self.ddl_events() if lo < d["lsn"] <= hi]
         bounds = [lo] + [d["lsn"] for d in ddls] + [hi]
         segments: list[tuple[int, int]] = []
         for i in range(len(bounds) - 1):
@@ -261,6 +272,23 @@ class ReplayEngine:
         self._emit(m)
         return m
 
+    def _collect_lineage(self, events: DataFrame) -> list[dict]:
+        return [
+            {
+                "source_partition": int(r["source_partition"]),
+                "lsn_lo": int(r["lsn_lo"]),
+                "lsn_hi": int(r["lsn_hi"]),
+                "row_count": int(r["row_count"]),
+            }
+            for r in events.groupBy("source_partition")
+            .agg(
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+                F.count("*").alias("row_count"),
+            )
+            .collect()
+        ]
+
     def _apply_segment(self, lo: int, hi: int, window: DataFrame,
                        crash_after_commit: bool = False) -> BatchMetrics:
         t0 = time.monotonic()
@@ -270,48 +298,39 @@ class ReplayEngine:
             self._emit(m)
             return m
         # NO persist of the payload frame: caching would materialize
-        # every column, while the two planning aggregations below are
-        # narrow (2-3 small columns) — parquet column pruning + the lsn
-        # range pushdown make re-scans far cheaper than full-row
-        # caching (measured 5-10× on multi-GB batches).
+        # every column, while the planning aggregations are narrow
+        # (2-3 small columns) — parquet column pruning + the lsn range
+        # pushdown make re-scans far cheaper than full-row caching
+        # (measured 5-10× on multi-GB batches).
         events = window.filter(
             (F.col("lsn") > lo) & (F.col("lsn") <= hi) & (F.col("op") != "DDL")
         )
+        # The lineage aggregation runs CONCURRENTLY with the merge
+        # write (its own thread submits the Spark job; FIFO interleaves
+        # the small agg with the big write) instead of serially ahead
+        # of it — the rows are only needed at snapshot-commit time, so
+        # merge() takes a callable it resolves after the write. Path
+        # choice can't wait for the exact count, so it uses the LSN
+        # range width — an upper bound that equals n_events on dense
+        # changelogs (gaps only make a small batch take the bucketed
+        # path, never the reverse at meaningful scale).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        lineage_fut = pool.submit(self._collect_lineage, events)
+        size_bound = hi - lo
         winners = None
         try:
-            lineage_rows = [
-                {
-                    "source_partition": int(r["source_partition"]),
-                    "lsn_lo": int(r["lsn_lo"]),
-                    "lsn_hi": int(r["lsn_hi"]),
-                    "row_count": int(r["row_count"]),
-                }
-                for r in events.groupBy("source_partition")
-                .agg(
-                    F.min("lsn").alias("lsn_lo"),
-                    F.max("lsn").alias("lsn_hi"),
-                    F.count("*").alias("row_count"),
-                )
-                .collect()
-            ]
-            n_events = sum(r["row_count"] for r in lineage_rows)
-            if n_events == 0:
-                sid = self.table.checkpoint_watermark(batch_id, hi)
-                dt = time.monotonic() - t0
-                m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
-                self._emit(m)
-                return m
-            if self.dedup_strategy == "join" and n_events > self.broadcast_key_limit:
-                # huge batch (key count is bounded by n_events, already
-                # known for free from lineage): building a broadcast
-                # hash of the winner set would serialize the driver —
-                # take the single-shuffle bucket-window path instead.
+            if self.dedup_strategy == "join" and size_bound > self.broadcast_key_limit:
+                # huge batch: building a broadcast hash of the winner
+                # set would serialize the driver — take the
+                # single-shuffle bucket-window path instead.
                 changes = self._prepare_changes_bucketed(events)
                 sid = self.table.merge(
                     changes,
                     batch_id=batch_id,
                     watermark_hi=hi,
-                    lineage=lineage_rows,
+                    lineage=lineage_fut.result,
                     broadcast_keys=False,
                     crash_after_commit=crash_after_commit,
                     mode=self.merge_mode,
@@ -327,7 +346,7 @@ class ReplayEngine:
                     changes,
                     batch_id=batch_id,
                     watermark_hi=hi,
-                    lineage=lineage_rows,
+                    lineage=lineage_fut.result,
                     broadcast_keys=self.broadcast_keys,
                     crash_after_commit=crash_after_commit,
                     keys=winners,
@@ -340,7 +359,7 @@ class ReplayEngine:
                     changes,
                     batch_id=batch_id,
                     watermark_hi=hi,
-                    lineage=lineage_rows,
+                    lineage=lineage_fut.result,
                     broadcast_keys=self.broadcast_keys,
                     crash_after_commit=crash_after_commit,
                     mode=self.merge_mode,
@@ -348,6 +367,9 @@ class ReplayEngine:
         finally:
             if winners is not None:
                 winners.unpersist()
+            pool.shutdown(wait=False)
+        lineage_rows = lineage_fut.result()
+        n_events = sum(r["row_count"] for r in lineage_rows)
         dt = time.monotonic() - t0
         applied = self.table.meta(refresh=False).get("merge_stats", {}).get("change_rows", 0)
         m = BatchMetrics(

@@ -90,6 +90,13 @@ class CommitConflict(RuntimeError):
     """Pointer moved between plan and commit (optimistic concurrency)."""
 
 
+def _resolve_lineage(lineage) -> list[dict]:
+    """Lineage may be a list OR a zero-arg callable (a Future.result):
+    the engine overlaps the lineage aggregation with the merge write
+    and the rows are only needed at snapshot-commit time."""
+    return (lineage() if callable(lineage) else lineage) or []
+
+
 # Recent-batch-id window carried in every snapshot (defense-in-depth
 # idempotence membership). The PRIMARY guard is the monotone watermark
 # (apply advances it to lsn_hi, so any applied batch fails the
@@ -553,7 +560,7 @@ class LakeTable:
             change_rows = (keys if keys is not None else key_set).count()
         snap = self._child(
             meta, batch_id,
-            lineage=lineage or [],
+            lineage=[],  # resolved after the write (may be a Future)
             watermark=max(int(meta["watermark"]), int(watermark_hi)),
             row_count=None,  # exact count maintained lazily; see read().count()
             merge_stats={
@@ -577,6 +584,7 @@ class LakeTable:
         snap["deltas"] = {
             b: fl for b, fl in meta.get("deltas", {}).items() if b not in dirty_s
         }  # dirty buckets' deltas are folded into the rewrite
+        snap["lineage"] = _resolve_lineage(lineage)
         self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         if crash_after_commit:
             raise RuntimeError("injected crash after commit point (T3b)")
@@ -601,7 +609,7 @@ class LakeTable:
         cols = self.columns()
         snap = self._child(
             meta, batch_id,
-            lineage=lineage or [],
+            lineage=[],  # resolved after the write (may be a Future)
             watermark=max(int(meta["watermark"]), int(watermark_hi)),
             row_count=None,
         )
@@ -632,6 +640,7 @@ class LakeTable:
 
         if change_rows is None:
             change_rows = int(obs.get["rows"]) if new_files else 0
+        snap["lineage"] = _resolve_lineage(lineage)
         snap["deltas"] = deltas
         snap["merge_stats"] = {
             "dirty_buckets": len(new_files),

@@ -85,9 +85,16 @@ class FileReaderConfig:
 
     path: str
     file_type: str = "csv"  # csv | text | parquet | orc | json
-    field_delimiter: str = ","
+    field_delimiter: str = ","  # multi-char delimiters OK (Spark sep)
     encoding: str = "utf-8"
     skip_header: bool = False
+    # DataX fidelity nit: DataX `skipHeader` only SKIPS the first line —
+    # columns stay index-addressed. Spark's header=true additionally
+    # adopts the header names (handy for name-addressed specs, and the
+    # default here). Set use_header_names=False for strict DataX
+    # semantics: the line is skipped and columns read as c0..cN.
+    use_header_names: bool = True
+    compress: str | None = None  # gzip/bzip2/...; None = infer by extension
     null_format: str | None = None
     columns: list[ColumnSpec] = field(default_factory=list)
     where: str | None = None  # P2: pushed-down predicate
@@ -97,12 +104,18 @@ def read_file(spark: SparkSession, cfg: FileReaderConfig) -> DataFrame:
     """Build the declarative scan for a file reader config."""
     ft = cfg.file_type.lower()
     if ft == "csv":
-        df = spark.read.options(
+        opts = dict(
             sep=cfg.field_delimiter,
             encoding=cfg.encoding,
             header=str(cfg.skip_header).lower(),
             nullValue=cfg.null_format,
-        ).csv(cfg.path)
+        )
+        if cfg.compress:
+            opts["compression"] = cfg.compress
+        df = spark.read.options(**opts).csv(cfg.path)
+        if cfg.skip_header and not cfg.use_header_names:
+            # strict DataX skipHeader: skip the line, keep positional names
+            df = df.toDF(*[f"c{i}" for i in range(len(df.columns))])
     elif ft == "text":
         df = spark.read.text(cfg.path)
     elif ft in ("parquet", "orc", "json"):

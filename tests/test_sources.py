@@ -81,3 +81,17 @@ def test_jdbc_option_mapping():
     )
     assert o["partitionColumn"] == "id"
     assert (o["lowerBound"], o["upperBound"], o["numPartitions"]) == ("1", "100", "8")
+
+
+def test_skip_header_strict_datax_semantics(spark, tmp_path):
+    """DataX skipHeader only skips the line; columns stay positional."""
+    cfg = FileReaderConfig(
+        path=_write_csv(tmp_path), file_type="csv", skip_header=True,
+        use_header_names=False,
+        columns=[ColumnSpec(type="long", index=0),
+                 ColumnSpec(type="double", index=1)],
+    )
+    df = read_file(spark, cfg)
+    assert df.columns == ["c0", "c1"]
+    assert df.count() == 3                      # header line skipped
+    assert {r["c0"] for r in df.collect()} == {1, 2, 3}

@@ -202,6 +202,18 @@ def write_report(s: dict) -> None:
         "~0.95, so the 8→32 gap is that shared floor, not the engine's",
         "plan). The small-N pairs, where the floor is amortized, are the",
         "closest single-box analogue of adding whole executors.",
+        "",
+        "Attribution evidence: `BENCH/PROFILE.md` (tools/profile_scaling.py)",
+        "decomposes the measured replay window from Spark's event log into",
+        "driver-only wall seconds (engine serialism) vs task off-CPU time",
+        "(shared-host stall) at local[8] and local[32].",
+        "",
+        "Measured host variance: identical code + input at local[32] ranged",
+        "13-31 s best-of-3 across sessions hours apart on this shared VM",
+        "(a raw 32-process sha256 probe scales 8→32 at ~1.0 throughout, so",
+        "the drift is memory-subsystem contention, not CPU). Single-session",
+        "pairings (this table) are the controlled comparison; absolute",
+        "events/sec carries that session's host state.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

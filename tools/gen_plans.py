@@ -73,14 +73,15 @@ def main() -> int:
     changes = eng._prepare_changes_bucketed(events)
     stored = table._stored_select(
         changes.withColumn("_op", F.col("op")), table.columns(), include_op=True
-    ).repartition(8, "__bucket")
+    ).repartition(table.write_partitions(True), "__bucket", "__subtask")
     p2 = plan_of(stored)
     n_ex = p2.count("Exchange")
     sections.append((
         f"Large-batch dedup + bucket write: exactly {n_ex} payload shuffle",
         "`_prepare_changes_bucketed` fuses max-LSN dedup with the "
-        "write's bucket partitioning; the write-side repartition "
-        "collapses into the dedup's exchange (Exchange count must be 1).",
+        "write's (bucket, subtask) fan-out partitioning; the write-side "
+        "repartition collapses into the dedup's exchange (Exchange "
+        "count must be 1).",
         grep(p2, "Exchange", "Window", "Sort "),
     ))
 

@@ -71,14 +71,19 @@ def worker(cpus: int) -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{ev_dir}",
+            # flat uncompressed file — Spark 4 defaults to a rolled
+            # zstd eventlog_v2 directory, which the parser would need
+            # zstandard to read
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.driver.memory": "48g",
         },
     )
     changelog = spark.read.parquet(LOG)
     n_events = changelog.count()
     head = changelog.agg(F.max("lsn")).collect()[0][0]
-    wall = t0 = t1 = 0.0
-    for rep in range(2):  # rep 0 warms JVM/codegen; rep 1 is measured
+    reps = []  # (wall, t0, t1); rep 0 warms JVM/codegen
+    for rep in range(3):
         lake_dir = os.path.join(WD, f"plake_{cpus}_{rep}")
         shutil.rmtree(lake_dir, ignore_errors=True)
         os.sync()
@@ -90,12 +95,21 @@ def worker(cpus: int) -> None:
         engine.run()
         wall = time.monotonic() - s
         t1 = time.time() * 1000
+        reps.append((wall, t0, t1))
         log(f"[profile {cpus}] rep {rep}: {wall:.1f}s")
         shutil.rmtree(lake_dir, ignore_errors=True)
     spark.stop()  # flush the event log
+    # profile the BEST measured rep — same peak-throughput protocol as
+    # bench_scaling (least perturbed by writeback/GC-mode noise); the
+    # worst rep's window is also reported so the bimodal GC regime at
+    # high thread counts stays visible.
+    wall, t0, t1 = min(reps[1:], key=lambda r: r[0])
+    w_wall, w_t0, w_t1 = max(reps[1:], key=lambda r: r[0])
     print(json.dumps({
         "cpus": cpus, "events": int(n_events), "wall_s": round(wall, 2),
         "t0": t0, "t1": t1, "evlog": ev_dir,
+        "reps_sec": [round(r[0], 2) for r in reps],
+        "worst": {"wall_s": round(w_wall, 2), "t0": w_t0, "t1": w_t1},
     }))
 
 
@@ -104,10 +118,14 @@ def parse_evlog(ev_dir: str, t0: float, t1: float) -> dict:
     run_ms = cpu_ns = gc_ms = 0
     intervals: list[tuple[float, float]] = []
     n_tasks = 0
+    paths = []
     for path in glob.glob(os.path.join(ev_dir, "*")):
-        if os.path.isdir(path):
-            continue
-        with open(path) as f:
+        if os.path.isdir(path):  # rolled eventlog_v2_<app>/events_* layout
+            paths.extend(glob.glob(os.path.join(path, "events_*")))
+        else:
+            paths.append(path)
+    for path in paths:
+        with open(path, errors="replace") as f:
             for line in f:
                 try:
                     ev = json.loads(line)
@@ -167,16 +185,23 @@ def main() -> int:
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
-        agg = parse_evlog(r["evlog"], r["t0"], r["t1"])
-        wall = r["wall_s"]
-        agg.update({
-            "cpus": cpus, "events": r["events"], "wall_s": wall,
-            "driver_only_s": round(max(0.0, wall - agg["covered_s"]), 2),
-            "avg_concurrency": round(agg["task_run_s"] / agg["covered_s"], 2)
-            if agg["covered_s"] else 0.0,
-            "stall_frac": round(1 - agg["task_cpu_s"] / agg["task_run_s"], 3)
-            if agg["task_run_s"] else 0.0,
-        })
+
+        def enrich(window_wall, a):
+            a["driver_only_s"] = round(max(0.0, window_wall - a["covered_s"]), 2)
+            a["avg_concurrency"] = (round(a["task_run_s"] / a["covered_s"], 2)
+                                    if a["covered_s"] else 0.0)
+            a["stall_frac"] = (round(1 - a["task_cpu_s"] / a["task_run_s"], 3)
+                               if a["task_run_s"] else 0.0)
+            return a
+
+        agg = enrich(r["wall_s"], parse_evlog(r["evlog"], r["t0"], r["t1"]))
+        agg.update({"cpus": cpus, "events": r["events"], "wall_s": r["wall_s"],
+                    "reps_sec": r.get("reps_sec", [])})
+        w = r.get("worst", {})
+        if w and w.get("wall_s") != r["wall_s"]:
+            worst = enrich(w["wall_s"], parse_evlog(r["evlog"], w["t0"], w["t1"]))
+            worst["wall_s"] = w["wall_s"]
+            agg["worst_rep"] = worst
         results[cpus] = agg
         log(f"[profile] {cpus}: {json.dumps(agg)}")
     with open(os.path.join(REPO, "BENCH", "profile.json"), "w") as f:
@@ -207,18 +232,51 @@ def write_report(res: dict) -> None:
             f" {r['avg_concurrency']} | {r['stall_frac']} |"
         )
     ks = sorted(res)
+    for cpus in ks:
+        w = res[cpus].get("worst_rep")
+        if w:
+            lines += [
+                "",
+                f"Worst rep at {cpus} cores (bimodal GC regime): wall {w['wall_s']}s,"
+                f" Σrun {w['task_run_s']}s, Σcpu {w['task_cpu_s']}s,"
+                f" gc {w['gc_s']}s, stall {w['stall_frac']}"
+                f" (reps: {res[cpus].get('reps_sec')}).",
+            ]
     if len(ks) == 2:
         a, b = res[ks[0]], res[ks[1]]
         eff = (a["wall_s"] / b["wall_s"]) / (int(ks[1]) / int(ks[0]))
         cpu_ratio = b["task_cpu_s"] / a["task_cpu_s"] if a["task_cpu_s"] else 0
         run_ratio = b["task_run_s"] / a["task_run_s"] if a["task_run_s"] else 0
+        factor = int(ks[1]) / int(ks[0])
+        ideal = a["wall_s"] / factor + b["driver_only_s"]
+        shortfall = max(1e-9, b["wall_s"] - ideal)
+        driver_pct = 100.0 * b["driver_only_s"] / shortfall
         lines += [
             "",
-            f"Pair efficiency {ks[0]}→{ks[1]}: **{eff:.3f}**.",
+            f"Pair efficiency {ks[0]}→{ks[1]} (best reps): **{eff:.3f}**.",
             f"Work check: Σcpu ratio {cpu_ratio:.2f}× (1.0 = same work executed),",
             f"Σrun ratio {run_ratio:.2f}× — run-time inflation beyond the cpu",
             "ratio is time tasks spent stalled on shared host resources at the",
             "higher parallelism, not extra work and not driver serialism.",
+            "",
+            f"**Attribution**: of the {shortfall:.1f}s shortfall vs perfect",
+            f"{factor:.0f}× scaling, driver-only (no task in flight) wall is"
+            f" {b['driver_only_s']}s = {driver_pct:.1f}% — engine serialism is"
+            " negligible. The rest is IN-TASK inflation: JVM GC"
+            f" ({b['gc_s']}s at {ks[1]} cores vs {a['gc_s']}s at {ks[0]}),"
+            f" off-CPU stall (frac {b['stall_frac']} vs {a['stall_frac']}),"
+            " and per-op cpu growth — the shared memory subsystem of one",
+            "box under 4× the threads. The same host scales a 32-process",
+            "sha256 probe at ~1.0 (pure CPU, small working set), so the",
+            "contended resource is memory bandwidth/allocator, which a real",
+            "multi-executor cluster multiplies per node instead of sharing.",
+            "",
+            "Absolute walls carry this profiling session's host state (the",
+            "variance note in BENCH/BASELINE.md documents 13-31s best-of-3",
+            "drift at local[32] across sessions); the official pair number",
+            "is BENCH/BASELINE.md's same-session measurement. The ratios",
+            "above (driver share, cpu inflation, GC, stall) are the",
+            "deliverable of this profile and are stable across sessions.",
         ]
     with open(os.path.join(REPO, "BENCH", "PROFILE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
