@@ -6,11 +6,16 @@ spark-submit --py-files dx.zip):
     python -m dx.main demo    --workdir /path --events 5000
     python -m dx.main replay  --workdir /path [--delta 1000]
     python -m dx.main status  --workdir /path
+    python -m dx.main compact --workdir /path
+    python -m dx.main gc      --workdir /path [--keep-last 100]
 
 `demo` synthesizes a seeded changelog + seed table under --workdir,
 then replays it. `replay` resumes from the table's committed
 watermark — run it twice and the second run is a no-op (exactly-once).
 `status` prints the table's snapshot/watermark/lineage summary.
+`compact` folds outstanding merge-on-read deltas into the base;
+`gc` expires old snapshots + unreferenced data files (maintenance,
+Iceberg's rewrite_data_files / expire_snapshots analogues).
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     runp = sub.add_parser("run", help="execute a DataX-shaped job.json")
     runp.add_argument("--job", required=True)
 
-    for name in ("replay", "status"):
+    for name in ("replay", "status", "compact", "gc"):
         sp = sub.add_parser(name)
         sp.add_argument("--workdir", required=True)
         if name == "replay":
@@ -43,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--dedup", choices=["join", "maxby", "window"], default="join")
             sp.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
             sp.add_argument("--compact-threshold", type=int, default=8)
+        if name == "gc":
+            sp.add_argument("--keep-last", type=int, default=100)
 
     demo.add_argument("--delta", type=int, default=1_000)
     demo.add_argument("--dedup", choices=["join", "maxby", "window"], default="join")
@@ -65,6 +72,26 @@ def main(argv: list[str] | None = None) -> int:
     lake_root = os.path.join(wd, "lake")
     log_path = os.path.join(wd, "changelog.parquet")
     metrics_path = os.path.join(wd, "metrics.jsonl")
+
+    if args.cmd == "compact":
+        from dx.lake import LakeTable
+
+        t = LakeTable.load(get_spark("dx-compact"), lake_root)
+        depth = t.delta_depth()
+        sid = t.compact()
+        print(json.dumps({
+            "compacted_buckets": len(depth),
+            "max_depth_before": max(depth.values(), default=0),
+            "snapshot_id": sid,
+        }, indent=2))
+        return 0
+
+    if args.cmd == "gc":
+        from dx.lake import LakeTable
+
+        t = LakeTable.load(get_spark("dx-gc"), lake_root)
+        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last), indent=2))
+        return 0
 
     if args.cmd == "status":
         from dx.lake import LakeTable

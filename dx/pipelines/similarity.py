@@ -122,3 +122,38 @@ def lsh_bucket_stats(df: DataFrame, n_planes: int = 8,
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min(id_col).alias("min_vec"))
     )
+
+
+def lsh_neardup_pairs(df: DataFrame, threshold_bps: int = 9000,
+                      n_planes: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    ANN-dedup path): exact integer cosine is evaluated ONLY for pairs
+    sharing a sign-LSH bucket — the shuffle key is the bucket id and
+    the pairwise work is O(Σ bucket²), never O(n²). Mirrors the text
+    pipeline's find(LSH)→verify(exact) split; vectors whose true
+    cosine exceeds the threshold but that land in different buckets
+    are the LSH recall tradeoff (more planes/bands tighten it).
+    Output: vec_a < vec_b, dot_q, cos_bps ≥ threshold_bps.
+    """
+    planes = hyperplanes(n_planes)
+    q = df.select(F.col(id_col), quantize(F.col(vec_col)).alias("v"))
+    b = q.withColumn("bucket", sign_lsh_bucket(F.col("v"), planes))
+    a_, c_ = b.alias("a"), b.alias("b")
+    j = a_.join(
+        c_,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = dot_q(F.col("a.v"), F.col("b.v"))
+    na = norm_sq_q(F.col("a.v"))
+    nb = norm_sq_q(F.col("b.v"))
+    return (
+        j.select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            dot.alias("dot_q"),
+            cosine_bps(dot, na, nb).alias("cos_bps"),
+        )
+        .filter(F.col("cos_bps") >= threshold_bps)
+    )

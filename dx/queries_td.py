@@ -338,6 +338,43 @@ def td_embed_lsh_buckets(spark, sf_dir):
     return sim.lsh_bucket_stats(_emb(spark, sf_dir))
 
 
+@query(
+    "td_embed_neardup",
+    f"""
+    WITH pl AS (SELECT {_planes_sql()} AS planes),
+    e AS (
+      SELECT vec_id, [floor(x::DOUBLE * 1000)::BIGINT for x in embedding] AS v
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             list_sum([CASE WHEN list_sum([v[i] * planes[p][i]
+                                           for i in range(1, 65)]) > 0
+                            THEN (1::BIGINT << (p - 1)) ELSE 0 END
+                       for p in range(1, 9)])::BIGINT AS bucket
+      FROM e, pl),
+    p AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             list_sum([a.v[i] * c.v[i] for i in range(1, 65)])::BIGINT AS dot_q,
+             list_sum([x * x for x in a.v])::BIGINT AS na,
+             list_sum([x * x for x in c.v])::BIGINT AS nb
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT vec_a, vec_b, dot_q,
+           floor(dot_q * 10000 / sqrt((na * nb)::DOUBLE))::BIGINT AS cos_bps
+    FROM p
+    WHERE na > 0 AND nb > 0
+      AND floor(dot_q * 10000 / sqrt((na * nb)::DOUBLE)) >= 2000
+    """,
+)
+def td_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed: exact integer
+    cosine evaluated only within sign-LSH buckets (find→verify,
+    O(Σ bucket²), never all-pairs). The synthetic corpus has no true
+    near-duplicates (max in-bucket cosine ≈ 0.42), so the gate runs at
+    cos ≥ 0.2 to value-check a non-trivial pair set through the
+    identical plan; production dedup would set ~0.99."""
+    return sim.lsh_neardup_pairs(_emb(spark, sf_dir), threshold_bps=2000)
+
+
 # ---------------------------------------------------------- multimodal
 
 @query(

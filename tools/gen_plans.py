@@ -129,6 +129,20 @@ def main() -> int:
         grep(plan_of(batch), "PushedFilters"),
     ))
 
+    # 7. as-of join = union + one window shuffle, no nested-loop join
+    q = QUERIES["rel_asof_join"](spark, SF)
+    p7 = plan_of(q)
+    sections.append((
+        f"As-of join runs as union+window: {p7.count('Exchange')} exchange(s), "
+        "zero nested loops",
+        "`rel_asof_join` (dx/joins.py): probe∪build shuffles ONCE by "
+        "the key for a running `last(ignorenulls)` window — the naive "
+        "inequality join would be a BroadcastNestedLoopJoin "
+        "(O(|probe|·|build|) comparisons). The plan must contain no "
+        "NestedLoop operator.",
+        grep(p7, "Exchange", "Window", "NestedLoop"),
+    ))
+
     # flagship formatted plan
     import __spark_entry__ as e
     flag = e.entry(spark)
