@@ -51,12 +51,19 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in on and c != right_on
     ]
+    # ordinate type: keep the native type when both sides agree (a
+    # double cast would corrupt LSNs above 2^53); only coerce to
+    # double for mixed numeric ordinates.
+    l_t, r_t = left.schema[left_on].dataType, right.schema[right_on].dataType
+    ord_of = (lambda c: F.col(c)) if l_t == r_t else (
+        lambda c: F.col(c).cast("double")
+    )
     # side marker orders a build row BEFORE the probe at an equal
     # ordinate (inclusive) or after it (exclusive)
     build_side, probe_side = (0, 1) if inclusive else (1, 0)
     probe = left.select(
         *left.columns,
-        F.col(left_on).cast("double").alias("__ord"),
+        ord_of(left_on).alias("__ord"),
         F.lit(probe_side).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
           for c in value_cols],
@@ -65,7 +72,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
         *[F.col(k) for k in on],
-        F.col(right_on).cast("double").alias("__ord"),
+        ord_of(right_on).alias("__ord"),
         F.lit(build_side).alias("__side"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )

@@ -124,6 +124,107 @@ def lsh_bucket_stats(df: DataFrame, n_planes: int = 8,
     )
 
 
+def ivf_centroids(df: DataFrame, k: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list[int]]]:
+    """Deterministic IVF coarse centroids: the ``k`` corpus vectors
+    with the smallest ``md5(id)`` (a seeded sample — no RNG state to
+    ship, reproducible in SQL), quantized. Returned in that order;
+    list position = centroid index. A production build would run
+    k-means refinement from this seed; the partition/probe machinery
+    below is identical either way."""
+    rows = (
+        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("v"))
+        .withColumn("__r", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__r", id_col)
+        .limit(k)
+        .collect()
+    )
+    return [(int(r[id_col]), list(r["v"])) for r in rows]
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[int]]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Inverted-file (IVF) coarse assignment: each vector goes to the
+    centroid with the max integer dot product (IP quantizer, the
+    IndexIVFFlat-IP shape); ties break to the smallest centroid index
+    (array_position returns the FIRST max). Exact int64 math — the
+    DuckDB oracle reproduces every assignment. At 10^10 vectors the
+    centroid id becomes the partition key and a query probes only its
+    top-P lists. The k×dim dot products here are interpreted
+    higher-order functions — fine for small k; a pandas-UDF matmul is
+    the production form for k in the thousands.
+
+    Output: id_col, centroid (0-based index), dot_q (winning score).
+    """
+    v = quantize(F.col(vec_col))
+    scores = F.array(
+        *[dot_q(v, F.array(*[F.lit(x).cast("long") for x in c]))
+          for _, c in centroids]
+    )
+    return df.select(
+        F.col(id_col),
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+        .alias("centroid"),
+        F.array_max(scores).alias("dot_q"),
+    )
+
+
+def ivf_bucket_stats(df: DataFrame, k: int = 16, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF list occupancy (the ANN partition map, IVF flavor)."""
+    cents = ivf_centroids(df, k, id_col, vec_col)
+    return (
+        ivf_assign(df, cents, id_col, vec_col)
+        .groupBy("centroid")
+        .agg(F.count("*").alias("n_vecs"), F.min(id_col).alias("min_vec"))
+    )
+
+
+def ivf_topk(df: DataFrame, query_id: int, k: int = 10, n_lists: int = 16,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: rank the query's centroids by dot product, keep
+    the top ``nprobe`` lists, run EXACT integer cosine only over the
+    vectors assigned to those lists, return top-k. At scale the
+    assignment is a precomputed partition column, so the scan prunes
+    to nprobe/n_lists of the corpus before any distance math — the
+    recall/cost dial is nprobe. Deterministic order: (cos_bps desc,
+    id asc); the query vector itself is excluded.
+    """
+    cents = ivf_centroids(df, n_lists, id_col, vec_col)
+    qv = (
+        df.filter(F.col(id_col) == query_id)
+        .select(quantize(F.col(vec_col)).alias("qv"))
+        .collect()[0]["qv"]
+    )
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
+    qn = sum(int(x) * int(x) for x in qv)
+    # rank centroids for the query driver-side (n_lists is small)
+    cscores = [
+        (idx, sum(int(a) * int(b) for a, b in zip(c, qv)))
+        for idx, (_, c) in enumerate(cents)
+    ]
+    probe = sorted(cscores, key=lambda t: (-t[1], t[0]))[:nprobe]
+    probe_idx = [int(i) for i, _ in probe]
+    assigned = ivf_assign(df, cents, id_col, vec_col).filter(
+        F.col("centroid").isin(probe_idx) & (F.col(id_col) != query_id)
+    )
+    corpus = df.select(F.col(id_col), quantize(F.col(vec_col)).alias("v")).join(
+        assigned.select(id_col, "centroid"), id_col
+    )
+    dot = dot_q(F.col("v"), qlit)
+    nv = norm_sq_q(F.col("v"))
+    return (
+        corpus.select(
+            F.col(id_col), F.col("centroid"),
+            dot.alias("dot_q"),
+            cosine_bps(dot, nv, F.lit(qn).cast("long")).alias("cos_bps"),
+        )
+        .orderBy(F.col("cos_bps").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_neardup_pairs(df: DataFrame, threshold_bps: int = 9000,
                       n_planes: int = 8, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:

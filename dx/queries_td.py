@@ -339,6 +339,85 @@ def td_embed_lsh_buckets(spark, sf_dir):
 
 
 @query(
+    "td_embed_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, [floor(x::DOUBLE * 1000)::BIGINT for x in embedding] AS v
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cid, v AS cv,
+             row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cidx
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 16),
+    s AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([e.v[i] * c.cv[i] for i in range(1, 65)])::BIGINT AS d
+      FROM e, c),
+    a AS (
+      SELECT vec_id, cidx, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+      FROM s)
+    SELECT cidx AS centroid, count(*) AS n_vecs, min(vec_id) AS min_vec
+    FROM a WHERE rn = 1 GROUP BY cidx
+    """,
+)
+def td_embed_ivf(spark, sf_dir):
+    """IVF coarse quantizer (the second ANN scale path next to
+    sign-LSH): deterministic md5-sampled centroids, exact int64
+    max-dot assignment, per-list occupancy — the oracle recomputes
+    every centroid and every assignment (ties to smallest index)."""
+    return sim.ivf_bucket_stats(_emb(spark, sf_dir), k=16)
+
+
+@query(
+    "td_embed_ivf_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, [floor(x::DOUBLE * 1000)::BIGINT for x in embedding] AS v
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cid, v AS cv,
+             row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cidx
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 16),
+    q AS (SELECT v AS qv, list_sum([x * x for x in v])::BIGINT AS qn
+          FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cidx FROM c, q
+      ORDER BY list_sum([q.qv[i] * c.cv[i] for i in range(1, 65)]) DESC, cidx
+      LIMIT 2),
+    s AS (
+      SELECT e.vec_id, c.cidx,
+             list_sum([e.v[i] * c.cv[i] for i in range(1, 65)])::BIGINT AS d
+      FROM e, c),
+    a AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+      FROM s)
+    SELECT e.vec_id, a.cidx AS centroid,
+           list_sum([e.v[i] * q.qv[i] for i in range(1, 65)])::BIGINT AS dot_q,
+           floor(list_sum([e.v[i] * q.qv[i] for i in range(1, 65)]) * 10000
+                 / sqrt((list_sum([x * x for x in e.v])::BIGINT * q.qn)::DOUBLE)
+           )::BIGINT AS cos_bps
+    FROM e
+    JOIN a ON a.vec_id = e.vec_id AND a.rn = 1
+    SEMI JOIN probe ON a.cidx = probe.cidx
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_bps DESC, e.vec_id LIMIT 10
+    """,
+)
+def td_embed_ivf_topk(spark, sf_dir):
+    """IVF ANN search: probe the query's top-2 centroid lists, exact
+    integer cosine only inside them, top-10 — the nprobe/n_lists
+    recall-cost dial of the ANN scale path, value-gated end-to-end
+    (centroid ranking, list assignment, and final ordering all
+    reproduced by the oracle)."""
+    return sim.ivf_topk(_emb(spark, sf_dir), query_id=0, k=10,
+                        n_lists=16, nprobe=2)
+
+
+@query(
     "td_embed_neardup",
     f"""
     WITH pl AS (SELECT {_planes_sql()} AS planes),

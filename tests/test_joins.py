@@ -77,3 +77,44 @@ def test_repo_key_stats_approx_bound(spark):
         assert a["n_events"] == e["n_events"]            # count is exact
         rel = abs(a["n_keys"] - e["n_keys"]) / e["n_keys"]
         assert rel < 0.15, f"HLL estimate off by {rel:.2%}"
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Quantified check: for random key/ordinate sets, the union-window
+    as-of join equals the brute-force definition (max build ordinate
+    at-or-before each probe), including unmatched probes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        builds=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=1, max_size=25, unique=True,  # unique (key, ord)
+        ),
+        probes=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 55)),
+            min_size=1, max_size=25,
+        ),
+    )
+    def check(builds, probes):
+        bdf = spark.createDataFrame(
+            [(k, o, f"v{k}:{o}") for k, o in builds], "k long, lsn long, v string"
+        )
+        pdf = spark.createDataFrame(
+            [(i, k, o) for i, (k, o) in enumerate(probes)],
+            "pid long, k long, probe long",
+        )
+        got = {
+            r["pid"]: r["v"]
+            for r in asof_join(pdf, bdf, on=["k"], left_on="probe",
+                               right_on="lsn").collect()
+        }
+        for i, (k, o) in enumerate(probes):
+            cands = [(bo, f"v{bk}:{bo}") for bk, bo in builds
+                     if bk == k and bo <= o]
+            want = max(cands)[1] if cands else None
+            assert got[i] == want, (i, k, o, got[i], want)
+
+    check()

@@ -172,3 +172,18 @@ def test_candidate_pairs_bucket_cap(docs, spark):
         for r in pdedup.candidate_pairs(crowd, max_bucket_size=None).collect()
     }
     assert (0, 3) in full and (100, 101) in full
+
+
+def test_ivf_assignment_and_probe(vectors):
+    """IVF coarse quantizer: every vector lands in exactly one of k
+    lists; a perturbed copy shares its original's list; probing the
+    query's top lists finds the planted nearest neighbor."""
+    cents = sim.ivf_centroids(vectors, k=8)
+    assert len(cents) == 8
+    a = {r["vec_id"]: r["centroid"] for r in sim.ivf_assign(vectors, cents).collect()}
+    assert len(a) == vectors.count()
+    assert all(0 <= c < 8 for c in a.values())
+    assert a[100] == a[7]               # near-identical vectors, same list
+    top = sim.ivf_topk(vectors, query_id=100, k=3, n_lists=8, nprobe=2).collect()
+    assert top and top[0]["vec_id"] == 7
+    assert top[0]["cos_bps"] >= 9990
