@@ -285,6 +285,21 @@ class IcebergTable:
         )
         return None
 
+    def expire_snapshots(self, keep_last: int = 100,
+                         min_age_s: float = 3600.0) -> dict:
+        """LakeTable.expire_snapshots: Iceberg's expire_snapshots +
+        remove_orphan_files procedures (the same retain-last + orphan-
+        age pair of guards)."""
+        self.spark.sql(
+            f"CALL lake.system.expire_snapshots(table => '{self.fqn}', "
+            f"retain_last => {int(keep_last)})"
+        )
+        self.spark.sql(
+            f"CALL lake.system.remove_orphan_files(table => '{self.fqn}', "
+            f"older_than => CURRENT_TIMESTAMP - INTERVAL {int(min_age_s)} SECOND)"
+        )
+        return {"kept_snapshots": keep_last}
+
     def snapshots(self) -> DataFrame:
         """Lineage surface: Iceberg metadata tables replace LakeTable's
         snapshot JSON chain."""

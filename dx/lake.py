@@ -708,7 +708,8 @@ class LakeTable:
         self._write_snapshot(snap, expected_parent=meta["snapshot_id"])
         return sid
 
-    def expire_snapshots(self, keep_last: int = 100) -> dict:
+    def expire_snapshots(self, keep_last: int = 100,
+                         min_age_s: float = 3600.0) -> dict:
         """Metadata + data GC — Iceberg's ``expire_snapshots``.
 
         Deletes snapshot JSON files beyond the newest ``keep_last`` of
@@ -716,10 +717,15 @@ class LakeTable:
         (kept snapshots stay time-travelable; the chain walk stops at
         the expire horizon). Bounds metadata growth: without this a
         long-running stream accumulates one JSON per batch forever.
-        Safe any time — the head snapshot and everything it references
-        are never touched, and a crash mid-GC only leaves orphans for
-        the next GC pass.
+        The head snapshot and everything it references are never
+        touched, and a crash mid-GC only leaves orphans for the next
+        pass. ``min_age_s`` guards in-flight writes: a CONCURRENT
+        writer's files exist before its pointer swap and would look
+        unreferenced, so only files older than the age threshold are
+        eligible (Iceberg's orphan-file age rule; pass 0 only when no
+        writer can be active).
         """
+        now = time.time()
         chain = self.snapshot_chain()
         keep, drop = chain[:keep_last], chain[keep_last:]
         referenced: set[str] = set()
@@ -744,8 +750,16 @@ class LakeTable:
                     continue
                 for fname in os.listdir(bd):
                     p = os.path.join(bd, fname)
-                    if fname.endswith(".parquet") and p not in referenced:
+                    if (fname.endswith(".parquet") and p not in referenced
+                            and now - os.path.getmtime(p) >= min_age_s):
                         os.remove(p)
                         removed_data += 1
+                if not os.listdir(bd):
+                    os.rmdir(bd)
+            if not any(e.startswith("__bucket=") for e in os.listdir(d)):
+                # only marker/_SUCCESS files left → whole snapshot dir is dead
+                for e in os.listdir(d):
+                    os.remove(os.path.join(d, e))
+                os.rmdir(d)
         return {"kept_snapshots": len(keep), "expired_snapshots": removed_meta,
                 "removed_data_files": removed_data}

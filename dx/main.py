@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--compact-threshold", type=int, default=8)
         if name == "gc":
             sp.add_argument("--keep-last", type=int, default=100)
+            sp.add_argument("--min-age", type=float, default=3600.0,
+                            help="orphan-file age guard (s); 0 only if no writer is active")
 
     demo.add_argument("--delta", type=int, default=1_000)
     demo.add_argument("--dedup", choices=["join", "maxby", "window"], default="join")
@@ -90,7 +92,10 @@ def main(argv: list[str] | None = None) -> int:
         from dx.lake import LakeTable
 
         t = LakeTable.load(get_spark("dx-gc"), lake_root)
-        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last), indent=2))
+        print(json.dumps(
+            t.expire_snapshots(keep_last=args.keep_last, min_age_s=args.min_age),
+            indent=2,
+        ))
         return 0
 
     if args.cmd == "status":

@@ -50,21 +50,27 @@ def test_expire_snapshots_gc(spark, tmp_path):
     ReplayEngine(spark, table, changelog_from_pandas(spark, changelog),
                  delta=100).run()
 
+    # pre-GC: time travel to the parent works
+    parent_sid = table.meta()["parent_id"]
+    assert table.read(snapshot_id=parent_sid).count() >= 0
+
+    # fold deltas so pre-compact delta files become unreferenced once
+    # their snapshots expire (mor keeps every delta referenced in the
+    # head until compaction — GC alone frees nothing, by design)
+    table.compact()
     snap_dir = os.path.join(table.root, "snapshots")
     n_before = len(os.listdir(snap_dir))
     assert n_before > 3
-    stats = table.expire_snapshots(keep_last=2)
-    assert stats["expired_snapshots"] == n_before - 2
-    assert len(os.listdir(snap_dir)) == 2
+    stats = table.expire_snapshots(keep_last=1, min_age_s=0)
+    assert stats["expired_snapshots"] == n_before - 1
+    assert stats["removed_data_files"] > 0  # pre-compact delta files freed
+    assert len(os.listdir(snap_dir)) == 1
 
     # head state fully intact after GC
     assert state_hash(spark_state_to_pandas(table.read(include_system=True))) \
         == state_hash(expected)
-    # retained parent still time-travelable
-    parent_sid = table.meta()["parent_id"]
-    assert table.read(snapshot_id=parent_sid).count() >= 0
     # chain walk stops at the horizon instead of raising
-    assert len(table.snapshot_chain()) == 2
+    assert len(table.snapshot_chain()) == 1
     # replay remains convergent: re-running the whole changelog is a no-op
     ReplayEngine(spark, table, changelog_from_pandas(spark, changelog),
                  delta=100).run()
