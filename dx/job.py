@@ -140,9 +140,22 @@ def _transform(df: DataFrame, spec: dict) -> DataFrame:
     if name == "dx_groovy":
         raise ValueError(
             "dx_groovy is not supported: script transforms are replaced by "
-            "vectorized pandas UDFs (write one and register it in "
-            "dx/transforms.py TRANSFORMS)"
+            "vectorized column functions / pandas UDFs — register one in "
+            "dx/transforms.py TRANSFORMS and reference it as "
+            '{"name": "dx_registry", "parameter": {"fn": "<name>", ...}}'
         )
+    if name == "dx_registry":
+        # P9 migration target: any single-column function registered in
+        # the TRANSFORMS registry (built-in Column exprs or pandas
+        # UDFs — e.g. normalize_content, content_sha) applied in place.
+        fn = p.get("fn")
+        if fn not in TR.TRANSFORMS:
+            raise ValueError(
+                f"unknown registry transform {fn!r}; available: "
+                f"{sorted(TR.TRANSFORMS)}"
+            )
+        typed = [int(x) if x.lstrip("-").isdigit() else x for x in paras]
+        return df.withColumn(col_name, TR.TRANSFORMS[fn](c, *typed))
     if name == "dx_filter":
         op, val = paras[0], paras[1]
         pred = FILTER_OPS[op](c.cast("string") if op.endswith("like") else c, val)

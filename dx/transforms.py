@@ -109,4 +109,9 @@ TRANSFORMS = {
     "dx_digest": dx_digest,
     "normalize_content": normalize_content,
     "content_sha": content_sha,
+    # Arrow-batched pandas UDF entries — the dx_groovy migration
+    # target for transforms with no built-in equivalent (job.json:
+    # {"name": "dx_registry", "parameter": {"fn": "sha256_pandas"}})
+    "normalize_content_pandas": normalize_content_udf,
+    "sha256_pandas": sha256_pandas,
 }

@@ -229,3 +229,39 @@ def test_job_required_constant_column_not_dirty(spark, tmp_path):
     stats = run_job(spark, config)
     assert stats["contents"][0]["dirty_records"] == 1   # 'x' fails the cast
     assert stats["contents"][0]["records_written"] == 2
+
+
+def test_job_registry_transform_pandas(spark, tmp_path):
+    """P9 replacement exercised: a registry transform (built-in column
+    fn AND an Arrow pandas UDF) applied via job.json, with dx_groovy's
+    rejection pointing at it."""
+    src = str(tmp_path / "reg_src")
+    spark.createDataFrame(
+        [("a\r\nb",), ("plain",)], "t string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "reg_out")
+    config = {
+        "job": {"content": [{
+            "reader": {"name": "filereader", "parameter": {
+                "path": src, "fileType": "parquet",
+            }},
+            "transformer": [
+                {"name": "dx_registry", "parameter": {"fn": "normalize_content"}},
+                {"name": "dx_registry", "parameter": {"fn": "sha256_pandas"}},
+            ],
+            "writer": {"name": "filewriter", "parameter": {"path": out}},
+        }]}
+    }
+    run_job(spark, config)
+    import hashlib
+
+    got = {r["t"] for r in spark.read.parquet(out).collect()}
+    assert hashlib.sha256(b"a\nb").hexdigest() in got       # CRLF normalized first
+    assert hashlib.sha256(b"plain").hexdigest() in got
+
+    with pytest.raises(ValueError, match="dx_registry"):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "streamreader", "parameter": {"sliceRecordCount": 1}},
+            "transformer": [{"name": "dx_groovy", "parameter": {}}],
+            "writer": {"name": "consolewriter", "parameter": {}},
+        }]}})

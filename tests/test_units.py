@@ -232,3 +232,30 @@ def test_iceberg_backend_signature_parity():
                 assert p.default is not inspect.Parameter.empty, (
                     f"{meth}() extra required param {name!r}"
                 )
+
+
+def test_bucket_write_fuses_into_dedup_exchange(spark, tmp_path):
+    """Plan-shape guard: the large-batch path's write repartition must
+    collapse into the bucket-window dedup exchange — exactly ONE
+    Exchange (payload shuffle) end-to-end, keyed by (bucket, subtask).
+    A second Exchange here would double the payload bytes moved per
+    batch at 10^10 events (PLANS.md section 2 is the human-readable
+    twin of this assert)."""
+    from pyspark.sql import functions as F
+
+    from dx.engine import ReplayEngine, changelog_from_pandas
+    from dx.generator import gen_changelog, gen_seed_table
+
+    seed_df = gen_seed_table(2, 10, seed=3)
+    chg = gen_changelog(seed_df, n_events=300, seed=3)
+    table = LakeTable.create(spark, str(tmp_path / "fuse"), n_buckets=8)
+    eng = ReplayEngine(spark, table, changelog_from_pandas(spark, chg),
+                       broadcast_key_limit=0)
+    events = changelog_from_pandas(spark, chg).filter("op != 'DDL'")
+    changes = eng._prepare_changes_bucketed(events)
+    stored = table._stored_select(
+        changes.withColumn("_op", F.col("op")), table.columns(), include_op=True
+    ).repartition(table.write_partitions(True), "__bucket", "__subtask")
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "__subtask" in plan
