@@ -854,8 +854,8 @@ def cdc_lineage_manifest(spark, sf_dir):
     (snapshot ids / timestamps are per-run and excluded)."""
     import hashlib
     import shutil
-    import tempfile
 
+    import dx
     from dx import manifest as mf
     from dx.engine import ReplayEngine
     from dx.lake import LakeTable
@@ -877,9 +877,14 @@ def cdc_lineage_manifest(spark, sf_dir):
         F.lit(None).cast("string").alias("ddl_type"),
         F.col("ts").alias("event_ts"),
     )
+    # scratch table lives under the repo's .tmp (never outside it)
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
     root = os.path.join(
-        tempfile.gettempdir(),
-        f"dx_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        repo_tmp,
+        f"q_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     shutil.rmtree(root, ignore_errors=True)
     table = LakeTable.create(spark, root, n_buckets=8)
