@@ -213,7 +213,9 @@ def write_report(s: dict) -> None:
         "(a raw 32-process sha256 probe scales 8→32 at ~1.0 throughout, so",
         "the drift is memory-subsystem contention, not CPU). Single-session",
         "pairings (this table) are the controlled comparison; absolute",
-        "events/sec carries that session's host state.",
+        "events/sec carries that session's host state. `BENCH/RUNS.md`",
+        "discloses all full protocol runs of this round side by side",
+        "(8→32 pair ranged 0.42-0.77 with host state alone).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
