@@ -59,8 +59,15 @@ def normalize_content(col: Column) -> Column:
     Built-ins are preferred in the hot path (SURVEY.md §4.1: stay
     inside whole-stage codegen); the pandas UDF exists for parity
     checks and for transforms with no built-in equivalent.
+
+    One pass, one regex: ``\\r\\n?`` → ``\\n`` collapses both CRLF and
+    lone CR, equivalent to the two chained replaces (left-to-right
+    scan: a CR absorbs its following LF when present) but with ONE
+    intermediate string per row instead of two — the normalize+sha
+    expression is the hottest per-row allocation site in the replay
+    write (GC dominates the 32-thread profile, BENCH/PROFILE.md).
     """
-    return F.regexp_replace(F.regexp_replace(col, "\r\n", "\n"), "\r", "\n")
+    return F.regexp_replace(col, "\r\n?", "\n")
 
 
 def content_sha(col: Column) -> Column:
