@@ -305,6 +305,18 @@ class ReplayEngine:
         events = window.filter(
             (F.col("lsn") > lo) & (F.col("lsn") <= hi) & (F.col("op") != "DDL")
         )
+        # Empty-segment fast path: a narrow isEmpty probe (lsn column
+        # only — pruning + the pushed LSN range make it footer-cheap)
+        # routes empty/sparse windows to a METADATA-ONLY watermark
+        # advance instead of a full merge pipeline (Spark write job +
+        # empty data/<sid> dir + data-shaped snapshot per empty
+        # segment). Non-empty segments pay one take(1) job, ~ms.
+        if events.select("lsn").isEmpty():
+            sid = self.table.checkpoint_watermark(batch_id, hi)
+            dt = time.monotonic() - t0
+            m = BatchMetrics(batch_id, lo + 1, hi, 0, 0, sid, 0, dt, 0.0)
+            self._emit(m)
+            return m
         # The lineage aggregation runs CONCURRENTLY with the merge
         # write (its own thread submits the Spark job; FIFO interleaves
         # the small agg with the big write) instead of serially ahead

@@ -229,16 +229,24 @@ class IcebergTable:
         Iceberg routes rows via its own bucket transform). ``keys`` /
         ``change_rows`` are planning hints the Iceberg MERGE does not
         need (its engine prunes files by partition + column stats);
-        ``broadcast_keys`` maps to a broadcast hint on the source.
+        ``broadcast_keys`` is ACCEPTED FOR SIGNATURE PARITY BUT NOT
+        APPLIED to the source frame: the engine passes it by default on
+        small batches, and broadcasting a payload-bearing change frame
+        (multi-KB ``content`` per row, up to broadcast_key_limit rows)
+        can blow the broadcast size limit or OOM the driver — the class
+        of failure LakeTable avoids by only ever broadcasting the
+        narrow (repo, path, lsn) key projection. Iceberg's MERGE
+        already prunes target files via partition + column stats, so
+        the hint buys nothing the engine needs.
         ``mode`` is fixed at table level (write.merge.mode property) —
         per-batch override would be an ALTER, deliberately not done
         mid-stream. ``crash_after_commit`` is a sandbox test hook; a
         real commit cannot inject a crash, so it is ignored.
         """
-        del keys, change_rows, mode, crash_after_commit  # planning hints / test hooks
+        # planning hints / test hooks; broadcast_keys intentionally unused —
+        # never broadcast the payload-bearing source frame (see docstring)
+        del keys, change_rows, mode, crash_after_commit, broadcast_keys
         src = changes.drop("__bucket") if "__bucket" in changes.columns else changes
-        if broadcast_keys:
-            src = F.broadcast(src)
         src.createOrReplaceTempView("dx_changes")
         self._set_commit_props(batch_id, watermark_hi, lineage)
         self.spark.conf.set("spark.wap.id", batch_id)  # snapshot stamping

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -61,12 +62,18 @@ def asof_join(
     # side marker orders a build row BEFORE the probe at an equal
     # ordinate (inclusive) or after it (exclusive)
     build_side, probe_side = (0, 1) if inclusive else (1, 0)
+    # All value columns travel inside ONE struct so the window carries
+    # the latest build row ATOMICALLY: a build row whose value column
+    # is legitimately NULL still wins as a whole (per-column
+    # last(ignorenulls) would skip the NULL field and mix columns from
+    # different build rows). Probe rows contribute a NULL struct, which
+    # last(ignorenulls) skips.
+    vstruct = T.StructType([right.schema[c] for c in value_cols])
     probe = left.select(
         *left.columns,
         ord_of(left_on).alias("__ord"),
         F.lit(probe_side).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(vstruct).alias("__v"),
     )
     build = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -74,7 +81,7 @@ def asof_join(
         *[F.col(k) for k in on],
         ord_of(right_on).alias("__ord"),
         F.lit(build_side).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
     )
     w = (
         Window.partitionBy(*on)
@@ -82,12 +89,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = probe.unionByName(build).select(
-        "*",
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-          for c in value_cols],
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__m")
     )
     return carried.filter(F.col("__side") == probe_side).select(
-        *left.columns, *value_cols
+        *left.columns,
+        *[F.col("__m")[c].alias(c) for c in value_cols],
     )
 
 

@@ -728,12 +728,17 @@ class LakeTable:
         now = time.time()
         chain = self.snapshot_chain()
         keep, drop = chain[:keep_last], chain[keep_last:]
+        # Liveness is decided on REALPATHS: stored references carry
+        # whatever root spelling the writing session used (relative
+        # cwd, symlink, ...); a table opened for GC under a different
+        # spelling of the same directory must not see every live file
+        # as unreferenced and delete it.
         referenced: set[str] = set()
         for s in keep:
             for fl in s.get("files", {}).values():
-                referenced.update(fl)
+                referenced.update(os.path.realpath(f) for f in fl)
             for fl in s.get("deltas", {}).values():
-                referenced.update(fl)
+                referenced.update(os.path.realpath(f) for f in fl)
         removed_meta = removed_data = 0
         for s in drop:
             try:
@@ -749,7 +754,7 @@ class LakeTable:
                 if not os.path.isdir(bd):
                     continue
                 for fname in os.listdir(bd):
-                    p = os.path.join(bd, fname)
+                    p = os.path.realpath(os.path.join(bd, fname))
                     if (fname.endswith(".parquet") and p not in referenced
                             and now - os.path.getmtime(p) >= min_age_s):
                         os.remove(p)

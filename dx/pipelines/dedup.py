@@ -120,10 +120,12 @@ def lsh_bucket_stats(df: DataFrame, **kw) -> DataFrame:
 
 
 def candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                    max_bucket_size: int | None = 1000, **kw) -> DataFrame:
+                    max_bucket_size: int | None = None, **kw) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
 
-    ``max_bucket_size`` caps the within-bucket self-join: a degenerate
+    ``max_bucket_size`` (OPT-IN, default ``None`` = no cap so default
+    output stays faithful to an uncapped oracle) caps the within-bucket
+    self-join: a degenerate
     bucket (boilerplate cluster — every near-identical license header
     lands in one band hash) would otherwise make the join quadratic in
     that bucket's size and serialize one reducer at 100 TB. Buckets

@@ -118,3 +118,25 @@ def test_asof_join_property_vs_bruteforce(spark):
             assert got[i] == want, (i, k, o, got[i], want)
 
     check()
+
+
+def test_asof_join_null_value_columns_atomic(spark):
+    """A build row whose value column is legitimately NULL must win AS A
+    WHOLE: every value column comes from the same (latest) build row,
+    NULL fields included — not per-column last(ignorenulls) mixing
+    columns from different build rows (ADVICE r2, dx/joins.py)."""
+    build = spark.createDataFrame(
+        [(1, 10, "a", 5), (1, 20, None, 7)],
+        "k long, lsn long, v string, x long",
+    )
+    probe = spark.createDataFrame([(1, 25), (1, 15)], "k long, probe long")
+    out = {
+        r["probe"]: (r["v"], r["x"])
+        for r in asof_join(
+            probe, build, on=["k"], left_on="probe", right_on="lsn"
+        ).collect()
+    }
+    # probe 25: latest build row is (lsn=20, v=NULL, x=7) — v stays NULL
+    assert out[25] == (None, 7)
+    # probe 15: latest is (lsn=10, v='a', x=5), untouched by the fix
+    assert out[15] == ("a", 5)

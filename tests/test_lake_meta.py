@@ -106,3 +106,35 @@ def test_cow_large_batch_never_persists_payload(spark, tmp_path, monkeypatch):
     assert calls == [], f"unexpected persist() of {calls}"
     assert state_hash(spark_state_to_pandas(table.read(include_system=True))) \
         == state_hash(expected)
+
+
+def test_expire_snapshots_survives_root_respelling(spark, tmp_path):
+    """GC liveness must compare REALPATHS (ADVICE r2, dx/lake.py):
+    opening the same table through a different spelling of its root
+    (here: a symlink) and running expire_snapshots must not delete the
+    head snapshot's live data files."""
+    real_root = str(tmp_path / "respell")
+    seed_df = gen_seed_table(n_repos=2, paths_per_repo=8, seed=11)
+    changelog = gen_changelog(seed_df, n_events=120, seed=11)
+    expected = replay(seed_df, changelog)
+
+    table = LakeTable.create(spark, real_root, n_buckets=4)
+    seed_lake(spark, table, seed_df)
+    ReplayEngine(spark, table, changelog_from_pandas(spark, changelog),
+                 delta=60).run()
+    table.compact()
+    want = state_hash(spark_state_to_pandas(table.read(include_system=True)))
+
+    link = str(tmp_path / "respell-link")
+    os.symlink(real_root, link)
+    aliased = LakeTable.load(spark, link)
+    aliased.expire_snapshots(keep_last=1, min_age_s=0)
+
+    # every live file survived: both spellings still read the full state
+    assert state_hash(
+        spark_state_to_pandas(aliased.read(include_system=True))
+    ) == want
+    assert state_hash(
+        spark_state_to_pandas(LakeTable.load(spark, real_root)
+                              .read(include_system=True))
+    ) == want

@@ -259,3 +259,30 @@ def test_bucket_write_fuses_into_dedup_exchange(spark, tmp_path):
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "__subtask" in plan
+
+
+def test_empty_segment_metadata_only_commit(spark, tmp_path):
+    """An empty LSN window must advance the watermark with a
+    METADATA-ONLY commit (ADVICE r2, dx/engine.py): no Spark write job,
+    no data/<sid> directory, no data-bearing-shaped snapshot — while a
+    later replay over the real events still converges."""
+    import os as _os
+
+    seed_df = gen_seed_table(n_repos=2, paths_per_repo=6, seed=3)
+    pdf = gen_changelog(seed_df, n_events=60, seed=3)
+    table = LakeTable.create(spark, str(tmp_path / "empty-seg"), n_buckets=4)
+    seed_lake(spark, table, seed_df)
+    head = int(pdf["lsn"].max())
+    eng = ReplayEngine(spark, table, changelog_from_pandas(spark, pdf),
+                       delta=10_000)
+
+    # window strictly past the changelog head: zero events
+    metrics = eng.run_batch(head, head + 500)
+    assert len(metrics) == 1 and metrics[0].events == 0
+    sid = metrics[0].snapshot_id
+    assert sid is not None
+    assert not _os.path.exists(_os.path.join(table.root, "data", sid))
+    assert table.watermark() == head + 500
+    # idempotent: re-applying the same empty window is a skip
+    again = eng.run_batch(head, head + 500)
+    assert again[0].skipped
