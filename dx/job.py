@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dx import transforms as TR
-from dx.sources import ColumnSpec, FileReaderConfig, dirty_split, read_file
+from dx.sources import (
+    ColumnSpec,
+    FileReaderConfig,
+    dirty_pred,
+    dirty_split,
+    read_file,
+)
 
 FILTER_OPS = {
     ">": lambda c, v: c > v,
@@ -225,8 +231,38 @@ def _write(df: DataFrame, writer: dict) -> None:
     raise ValueError(f"unsupported writer: {name}")
 
 
+def _check_error_limit(err_limit: dict, n_dirty: int, total: int) -> None:
+    """E1: both upstream ErrorRecordChecker limits — absolute dirty
+    count (``errorLimit.record``) and dirty RATIO over all records
+    (``errorLimit.percentage``, dirty/(clean+dirty))."""
+    limit = err_limit.get("record")
+    if limit is not None and n_dirty > int(limit):
+        raise RuntimeError(
+            f"errorLimit exceeded: {n_dirty} dirty records > {limit}"
+        )
+    pct = err_limit.get("percentage")
+    if pct is not None and total > 0 and n_dirty / total > float(pct):
+        raise RuntimeError(
+            f"errorLimit exceeded: dirty ratio {n_dirty}/{total} = "
+            f"{n_dirty / total:.4f} > {pct}"
+        )
+
+
 def run_job(spark: SparkSession, config: dict) -> dict:
-    """Execute a job config; returns DataX-style run stats."""
+    """Execute a job config; returns DataX-style run stats.
+
+    ONE source scan per job content: record + dirty counts ride the
+    write action as an ``Observation`` on the pre-filter frame (the
+    dx/lake.py MoR pattern) instead of separate count() passes.
+    errorLimit is therefore checked right AFTER the write completes —
+    upstream-faithful (DataX's ErrorRecordChecker fires on the running
+    job's counters; records already handed to the writer are written,
+    there is no rollback) — and a violation still fails the job and
+    skips postSql. The console/debug sink (W5) is the one exception:
+    show() only pulls a row limit, so it keeps explicit counts.
+    """
+    from pyspark.sql import Observation
+
     job = config["job"]
     setting = job.get("setting", {})
     channels = int(setting.get("speed", {}).get("channel", 0))
@@ -248,23 +284,50 @@ def run_job(spark: SparkSession, config: dict) -> dict:
             and c.get("required") and c.get("value") is None
         ]
         required = [r for r in required if r is not None and r in df.columns]
-        n_dirty = 0
+        console = content["writer"]["name"] in ("consolewriter", "streamwriter")
+        wp = content["writer"].get("parameter", {})
+        if console:
+            n_dirty = 0
+            if required:
+                df, dirty = dirty_split(df, required)
+                n_dirty = dirty.count()
+            n = df.count()
+            _check_error_limit(err_limit, n_dirty, n + n_dirty)
+            if channels:
+                df = df.repartition(channels)
+            _sql_hooks(spark, wp.get("preSql"))
+            _write(df, content["writer"])
+            _sql_hooks(spark, wp.get("postSql"))
+            stats["contents"].append(
+                {"records_written": n, "dirty_records": n_dirty}
+            )
+            continue
+        obs = Observation()
         if required:
-            df, dirty = dirty_split(df, required)
-            n_dirty = dirty.count()
-            limit = err_limit.get("record")
-            if limit is not None and n_dirty > int(limit):
-                raise RuntimeError(
-                    f"errorLimit exceeded: {n_dirty} dirty records > {limit}"
+            flagged = df.withColumn("__dirty", dirty_pred(required))
+            df = (
+                flagged.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.col("__dirty").cast("long")).alias("dirty"),
                 )
+                .filter(~F.col("__dirty"))
+                .drop("__dirty")
+            )
+        else:
+            df = df.observe(obs, F.count(F.lit(1)).alias("total"))
         if channels:
             df = df.repartition(channels)  # R3: channel count → parallelism
-        n = df.count()
-        wp = content["writer"].get("parameter", {})
         _sql_hooks(spark, wp.get("preSql"))   # W4: truncate-before-load etc.
         _write(df, content["writer"])
+        got = obs.get  # resolved by the write action — no extra pass
+        total = int(got.get("total") or 0)
+        n_dirty = int(got.get("dirty") or 0)
+        _check_error_limit(err_limit, n_dirty, total)
         _sql_hooks(spark, wp.get("postSql"))  # W4: analyze-after etc.
-        stats["contents"].append({"records_written": n, "dirty_records": n_dirty})
+        stats["contents"].append(
+            {"records_written": total - n_dirty, "dirty_records": n_dirty}
+        )
     return stats
 
 

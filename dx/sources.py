@@ -129,14 +129,21 @@ def read_file(spark: SparkSession, cfg: FileReaderConfig) -> DataFrame:
     return df
 
 
-def dirty_split(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
-    """C9/E1: split rows whose required columns failed coercion (NULL
-    after try_cast) into (clean, dirty). The error-limit check is then
-    `dirty.count() <= limit` per batch — counting, never crashing."""
+def dirty_pred(required: list[str]):
+    """C9: the dirty-row predicate — any required column NULL after
+    try_cast (coercion failure)."""
     pred = None
     for c in required:
         p = F.col(c).isNull()
         pred = p if pred is None else (pred | p)
+    return pred
+
+
+def dirty_split(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
+    """C9/E1: split rows whose required columns failed coercion (NULL
+    after try_cast) into (clean, dirty). The error-limit check is then
+    `dirty.count() <= limit` per batch — counting, never crashing."""
+    pred = dirty_pred(required)
     dirty = df.filter(pred)
     clean = df.filter(~pred)
     return clean, dirty

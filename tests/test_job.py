@@ -265,3 +265,69 @@ def test_job_registry_transform_pandas(spark, tmp_path):
             "transformer": [{"name": "dx_groovy", "parameter": {}}],
             "writer": {"name": "consolewriter", "parameter": {}},
         }]}})
+
+
+def test_job_single_pass_counts_via_observation(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #3: a file-writer job content costs ONE source scan —
+    record + dirty counts ride the write action as an Observation.
+    Proven by forbidding DataFrame.count() outright for the job run."""
+    import pyspark.sql.dataframe as psd
+
+    out = os.path.join(str(tmp_path), "onepass_out")
+    config = {
+        "job": {
+            "setting": {"errorLimit": {"record": 5}},
+            "content": [{
+                "reader": {"name": "filereader", "parameter": {
+                    "path": _csv(tmp_path), "fileType": "csv", "skipHeader": True,
+                    "column": [
+                        {"name": "id", "type": "long"},
+                        {"name": "price", "type": "double", "required": True},
+                    ],
+                }},
+                "writer": {"name": "filewriter", "parameter": {
+                    "path": out, "writeMode": "truncate",
+                }},
+            }],
+        }
+    }
+
+    def no_count(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("run_job must not run a separate count() pass")
+
+    monkeypatch.setattr(psd.DataFrame, "count", no_count)
+    stats = run_job(spark, config)
+    monkeypatch.undo()
+    assert stats["contents"][0] == {"records_written": 2, "dirty_records": 1}
+    assert spark.read.parquet(out).count() == 2  # dirty row quarantined
+
+
+def test_job_error_limit_percentage(spark, tmp_path):
+    """E1 errorLimit.percentage (VERDICT r2 #4): the csv is 1/3 dirty —
+    the job fails at percentage=0.05 and passes at 0.5."""
+    def cfg(pct):
+        return {
+            "job": {
+                "setting": {"errorLimit": {"percentage": pct}},
+                "content": [{
+                    "reader": {"name": "filereader", "parameter": {
+                        "path": _csv(tmp_path), "fileType": "csv",
+                        "skipHeader": True,
+                        "column": [
+                            {"name": "id", "type": "long"},
+                            {"name": "price", "type": "double",
+                             "required": True},
+                        ],
+                    }},
+                    "writer": {"name": "filewriter", "parameter": {
+                        "path": os.path.join(str(tmp_path), f"pct_{pct}"),
+                        "writeMode": "truncate",
+                    }},
+                }],
+            }
+        }
+
+    with pytest.raises(RuntimeError, match="dirty ratio"):
+        run_job(spark, cfg(0.05))
+    stats = run_job(spark, cfg(0.5))
+    assert stats["contents"][0]["dirty_records"] == 1
