@@ -414,14 +414,14 @@ class LakeTable:
                        num_write_partitions: int | None = None) -> dict[str, list[str]]:
         """Write df (with __bucket col) partitioned by bucket; return files map.
 
-        NOTE (object stores): the post-write ``os.listdir`` discovery
-        below is valid only on a filesystem with read-after-write
-        listing (local FS/HDFS — this sandbox backend). On S3-class
-        stores the committed file list must come from the write job
-        itself (commit protocol manifest); the production path for
-        that is iceberg_backend.py, where Iceberg's commit does exactly
-        this. TODO if this backend ever targets an object store: return
-        file names from a task-side commit manifest instead of listing.
+        Committed-file discovery is scheme-aware: a plain posix root
+        uses ``os.listdir`` (no extra Spark job on the hot path); any
+        URI-schemed root (s3a://, hdfs://, ...) goes through
+        :meth:`_committed_files_spark`, which derives the list from the
+        write job's committed output via Spark's FileIndex +
+        ``input_file_name`` — never a driver-side posix listing (which
+        would not even parse such a root). Both return the identical
+        {bucket: sorted files} map (equivalence is pytest-asserted).
         """
         out_dir = os.path.join(self.root, "data", snapshot_id)
         has_sub = "__subtask" in df.columns
@@ -435,6 +435,15 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        if "://" in self.root:
+            return self._committed_files_spark(out_dir)
+        return self._committed_files_listing(out_dir)
+
+    @staticmethod
+    def _committed_files_listing(out_dir: str) -> dict[str, list[str]]:
+        """Posix-root discovery: direct directory listing (safe here —
+        Spark's committer has already moved committed files into place
+        and removed its _temporary dir by the time write() returns)."""
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith("__bucket="):
@@ -444,6 +453,38 @@ class LakeTable:
             files[b] = sorted(
                 os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             )
+        return files
+
+    def _committed_files_spark(self, out_dir: str) -> dict[str, list[str]]:
+        """Store-agnostic discovery: one zero-data-column Spark job over
+        the committed output. ``input_file_name`` per row group comes
+        from Spark's FileIndex (Hadoop FS view — the same view reads
+        will use), which filters uncommitted/_temporary artifacts; no
+        data columns are decoded, so the job reads footers only. The
+        bucket id is parsed from the partition path segment, keeping
+        the returned map byte-identical in shape to the posix listing
+        (paths are stored in Spark's canonical form for the scheme)."""
+        from urllib.parse import unquote, urlparse
+
+        rows = (
+            self.spark.read.parquet(out_dir)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        files: dict[str, list[str]] = {}
+        for uri in sorted(r["f"] for r in rows):
+            seg = next(
+                s for s in uri.split("/") if s.startswith("__bucket=")
+            )
+            b = unquote(seg.split("=", 1)[1])
+            parsed = urlparse(uri)
+            # local-scheme URIs normalize to plain paths so the two
+            # discovery strategies (and stored snapshot metadata)
+            # compare equal; remote schemes keep the full URI, which
+            # spark.read.parquet(*files) consumes as-is.
+            path = unquote(parsed.path) if parsed.scheme == "file" else uri
+            files.setdefault(b, []).append(path)
         return files
 
     def _stored_select(self, df: DataFrame, columns: list[ColumnSpec],

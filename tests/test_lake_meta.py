@@ -138,3 +138,19 @@ def test_expire_snapshots_survives_root_respelling(spark, tmp_path):
         spark_state_to_pandas(LakeTable.load(spark, real_root)
                               .read(include_system=True))
     ) == want
+
+
+def test_committed_file_discovery_strategies_agree(spark, tmp_path):
+    """VERDICT r2 #7: the store-agnostic Spark-job discovery returns
+    the identical {bucket: sorted files} map as the posix listing, so
+    pointing the backend at a URI-schemed root only changes HOW the
+    committed list is obtained, not what it contains."""
+    table = LakeTable.create(spark, str(tmp_path / "disc"), n_buckets=4)
+    seed_df = gen_seed_table(n_repos=2, paths_per_repo=10, seed=9)
+    seed_lake(spark, table, seed_df)
+    sid = table.meta()["snapshot_id"]
+    out_dir = os.path.join(table.root, "data", sid)
+    via_listing = table._committed_files_listing(out_dir)
+    via_spark = table._committed_files_spark(out_dir)
+    assert via_listing  # non-trivial fixture
+    assert via_spark == via_listing
