@@ -159,22 +159,28 @@ def fingerprint(c: Column, n: int = 16) -> Column:
     n-gram windows (a 1-window winnowing sketch; equal fingerprints ⇒
     shared n-char substring with high probability).
 
-    Column form — nested higher-order functions run INTERPRETED
-    (outside codegen); use :func:`fingerprint_df` anywhere hot. Kept
-    for per-column composition and as the equivalence test's spec."""
+    This scalar form is the DEFAULT/hot form: a single non-nested
+    ``transform(…, md5)`` evaluates cheaply per row, needs no shuffle
+    (embarrassingly parallel per document), and measured 1.27-1.75×
+    faster than the explode→min-agg rewrite in a same-session
+    alternating A/B at sf0.1, both orderings
+    (tools/ab_fingerprint.py → BENCH/AB_FINGERPRINT.json). The
+    interpreted-HOF penalty that made explode 44× faster for MinHash
+    applies to NESTED HOF trees, not this one-level map."""
     return F.array_min(F.transform(char_shingles(c, n), lambda s: F.md5(s)))
 
 
 def fingerprint_df(df, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 16):
-    """Scale form of :func:`fingerprint`: explode the char n-gram
-    windows and fold with a map-side-combined ``min(md5)`` hash
-    aggregate — same values, but the md5 runs inside whole-stage
-    codegen once per window instead of re-evaluating the whole
-    interpreted array tree per consumer (the exact rewrite that made
-    MinHash 44× faster; see minhash_signatures_df). ``explode_outer``
-    keeps sub-``n``-char docs as a NULL fingerprint, matching
-    ``array_min`` on an empty array. Output: id_col, fp."""
+    """Explode→min-agg form of :func:`fingerprint`: explode the char
+    n-gram windows and fold with a map-side-combined ``min(md5)``
+    aggregate. RETIRED as the default after the same-session A/B above
+    measured it consistently SLOWER than the scalar form at sf0.1 —
+    kept because its values are bit-identical (equivalence-gated in the
+    A/B harness and pytest) and it composes where a per-window frame is
+    already materialized. ``explode_outer`` keeps sub-``n``-char docs
+    as a NULL fingerprint, matching ``array_min`` on an empty array.
+    Output: id_col, fp."""
     ex = df.select(
         F.col(id_col),
         F.explode_outer(char_shingles(F.col(text_col), n)).alias("__sh"),
