@@ -122,3 +122,58 @@ def dedup_bucket_window(df: DataFrame, bucket_col: str = "__bucket",
         c = F.col(f"__prev_{i}")
         first_of_run = first_of_run | c.isNull() | (c != F.col(k))
     return data.filter(first_of_run).drop(*[f"__prev_{i}" for i in range(len(key))])
+
+
+def fold_partial(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
+                 value_cols: list[str] | None = None) -> DataFrame:
+    """Partial-update fold (X10): collapse a batch to one row per key
+    where each value column independently keeps its LATEST NON-NULL
+    value — the CDC shape of column-level change events (MySQL binlog
+    minimal row image, Paimon partial-update merge engine). Max-LSN
+    dedup (X2) is the degenerate case where every event carries every
+    column.
+
+    Delete semantics are strict resets: events at or before a key's
+    highest-LSN ``op='D'`` never contribute a value (the delete wiped
+    the row; later events rebuild it from scratch). The emitted row
+    carries:
+
+    - ``lsn``   — max LSN over ALL of the key's events (batch-split
+      invariant: folding one batch equals folding two sub-batches
+      merged in LSN order),
+    - ``op``    — the highest-LSN event's op ('D' → the key is a
+      delete; callers drop it),
+    - ``__reset`` — true when a mid-batch delete occurred, so the
+      MERGE must NOT coalesce older stored values into this row.
+
+    Physical shape: the delete watermark is a NARROW aggregate over
+    only the D rows (a CDC batch's deletes are a small fraction),
+    broadcast-joined back; the fold itself is one map-side-combinable
+    groupBy — payload shuffles once, the same budget as ``maxby``.
+    """
+    reserved = {*key, lsn_col, "op"}
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in reserved]
+    d_last = (
+        df.filter(F.col("op") == "D")
+        .groupBy(*key)
+        .agg(F.max(lsn_col).alias("__d_lsn"))
+    )
+    ev = df.join(F.broadcast(d_last), on=list(key), how="left")
+    live = (
+        (F.col("op") != "D")
+        & (F.col(lsn_col) > F.coalesce(F.col("__d_lsn"), F.lit(-1)))
+    )
+    aggs = [
+        F.max(lsn_col).alias(lsn_col),
+        F.max_by("op", F.col(lsn_col)).alias("op"),
+        F.max("__d_lsn").isNotNull().alias("__reset"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c),
+                F.when(live & F.col(c).isNotNull(), F.col(lsn_col)),
+            ).alias(c)
+        )
+    return ev.groupBy(*key).agg(*aggs)

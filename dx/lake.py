@@ -367,6 +367,87 @@ class LakeTable:
             df = df.drop(*[n for n, _ in SYSTEM_COLUMNS])
         return df
 
+    def snapshot_meta(self, snapshot_id: str) -> dict:
+        """Metadata of a committed snapshot (raises if GC-expired)."""
+        with open(self._snap_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def changes(self, from_snapshot: str,
+                to_snapshot: str | None = None) -> DataFrame:
+        """Incremental changelog read between two committed snapshots —
+        the Iceberg changelog-scan / Delta CDF surface a downstream
+        consumer uses to tail THIS table instead of re-reading it.
+
+        One row per key whose reconciled state differs between
+        ``from_snapshot`` (exclusive) and ``to_snapshot`` (inclusive,
+        default: current head), with ``_change_type`` ∈
+        {'insert', 'update', 'delete'}. Insert/update rows carry the
+        post-image (state at ``to_snapshot``, its schema); delete rows
+        carry the pre-image values for columns that existed at
+        ``from_snapshot`` (the tombstone itself is not retained in
+        reconciled state, exactly as in Iceberg CoW).
+
+        Scale shape: a bucket whose base-file AND delta-file lists are
+        byte-identical between the two manifests cannot differ — it is
+        pruned before any IO, so the diff cost is O(changed buckets),
+        not O(table). Within changed buckets, classification is a
+        key-shuffled full-outer join; survivors keep their ``_lsn``
+        across rewrites, so ``_lsn`` equality is an exact unchanged
+        test (no payload comparison ever happens).
+        """
+        old_meta = self.snapshot_meta(from_snapshot)
+        new_meta = (self.snapshot_meta(to_snapshot) if to_snapshot
+                    else self.meta())
+        old_cols = [ColumnSpec(**c) for c in old_meta["columns"]]
+        new_cols = [ColumnSpec(**c) for c in new_meta["columns"]]
+        o_files, n_files = old_meta["files"], new_meta["files"]
+        o_delt = old_meta.get("deltas", {})
+        n_delt = new_meta.get("deltas", {})
+        dirty = sorted(
+            (b for b in set(o_files) | set(n_files) | set(o_delt) | set(n_delt)
+             if o_files.get(b, []) != n_files.get(b, [])
+             or o_delt.get(b, []) != n_delt.get(b, [])),
+            key=int,
+        )
+        old = self._bucket_state(dirty, old_cols, meta=old_meta)
+        new = self._bucket_state(dirty, new_cols, meta=new_meta)
+        old_names = {c.name for c in old_cols}
+        o = old.select(
+            *KEY,
+            *[F.col(c.name).alias(f"__o_{c.name}")
+              for c in old_cols if c.name not in KEY],
+            *[F.col(n).alias(f"__o_{n}") for n, _ in SYSTEM_COLUMNS],
+        )
+        n = new.select(
+            *KEY,
+            *[F.col(c.name).alias(f"__n_{c.name}")
+              for c in new_cols if c.name not in KEY],
+            *[F.col(n_).alias(f"__n_{n_}") for n_, _ in SYSTEM_COLUMNS],
+        )
+        j = n.join(o, on=list(KEY), how="full_outer")
+        ctype = (
+            F.when(F.col("__o__lsn").isNull(), F.lit("insert"))
+            .when(F.col("__n__lsn").isNull(), F.lit("delete"))
+            .when(F.col("__n__lsn") != F.col("__o__lsn"), F.lit("update"))
+        )
+        deleted = F.col("_change_type") == "delete"
+        sel = [*[F.col(k) for k in KEY], ctype.alias("_change_type")]
+        out = j.select(*sel, *[c for c in j.columns if c.startswith("__")])
+        out = out.filter(F.col("_change_type").isNotNull())
+        value_sel = [*[F.col(k) for k in KEY], F.col("_change_type")]
+        for c in new_cols:
+            if c.name in KEY:
+                continue
+            post = F.col(f"__n_{c.name}")
+            pre = (F.col(f"__o_{c.name}") if c.name in old_names
+                   else F.lit(None).cast(c.type))
+            value_sel.append(F.when(deleted, pre).otherwise(post).alias(c.name))
+        for s_name, _t in SYSTEM_COLUMNS:
+            post = F.col(f"__n_{s_name}")
+            pre = F.col(f"__o_{s_name}")
+            value_sel.append(F.when(deleted, pre).otherwise(post).alias(s_name))
+        return out.select(*value_sel)
+
     # ------------------------------------------------------------------ DDL
     def alter(self, action: str, column: str, col_type: str = "string",
               batch_id: str | None = None, at_lsn: int | None = None) -> str:
@@ -525,6 +606,7 @@ class LakeTable:
         keys: DataFrame | None = None,
         change_rows: int | None = None,
         mode: str = "cow",
+        update_mode: str = "full",
     ) -> str:
         """MERGE INTO equivalent: last-writer-wins upsert + delete (X3).
 
@@ -544,6 +626,16 @@ class LakeTable:
         after the atomic pointer swap to simulate dying before any
         post-commit bookkeeping; recovery must converge.
 
+        ``update_mode='partial'`` (X10, CoW only): change rows carry
+        NULL for columns the event did not touch; on matched keys each
+        column keeps its stored value unless the change provides one
+        (``coalesce(change, old)``), except rows flagged ``__reset``
+        (a mid-batch delete preceded them — see dedup.fold_partial),
+        which never inherit stored values. Contract: ``changes`` is
+        per-key folded (fold_partial) and ``_content_sha`` is NULL
+        exactly when ``content`` is NULL, so the sha always pairs with
+        whichever content value survives.
+
         ``keys`` (optional): the deduped change-key set as a *small*
         DataFrame with columns KEY. When given, dirty-bucket planning,
         the anti-join, and the change count all run against it — the
@@ -557,6 +649,13 @@ class LakeTable:
         batches (defeats column pruning, thrashes GC) — see the module
         lesson; the narrow re-scan is the 100 TB shape.
         """
+        if update_mode not in ("full", "partial"):
+            raise ValueError(f"unknown update_mode: {update_mode}")
+        if update_mode == "partial" and mode == "mor":
+            # MoR read-side reconcile is a max-LSN row pick; folding
+            # column-level partials at read time would push the fold
+            # into every reader. Partial updates take the CoW path.
+            raise ValueError("update_mode='partial' requires mode='cow'")
         if mode == "mor":
             return self._merge_mor(
                 changes, batch_id, watermark_hi, lineage=lineage,
@@ -585,11 +684,46 @@ class LakeTable:
         if broadcast_keys:
             key_set = F.broadcast(key_set)
         survivors = old.join(key_set, on=KEY, how="left_anti")
-        upserts = changes.filter(F.col("op") != "D").select(
-            *[F.col(c.name) for c in cols],
-            *[F.col(n) for n, _ in SYSTEM_COLUMNS],
-            F.col("__bucket"),
-        )
+        if update_mode == "partial":
+            # Matched rows need the stored values to coalesce into.
+            # old is pruned to the batch's keys FIRST (the same
+            # broadcast key set the anti-join uses, so the big stored
+            # side never shuffles); the then-tiny hit set joins the
+            # folded changes. Two pruned scans of the dirty buckets
+            # beat one scan + a full shuffle of their state.
+            reset = (F.col("__reset") if "__reset" in changes.columns
+                     else F.lit(False))
+            ch = changes.filter(F.col("op") != "D")
+            old_hit = old.join(key_set, on=KEY, how="left_semi").select(
+                *KEY,
+                *[F.col(c.name).alias(f"__old_{c.name}")
+                  for c in cols if c.name not in KEY],
+                *[F.col(n).alias(f"__old_{n}") for n, _ in SYSTEM_COLUMNS],
+            )
+            j = ch.join(old_hit, on=KEY, how="left")
+            sel = [F.col(k) for k in KEY]
+            for c in cols:
+                if c.name in KEY:
+                    continue
+                merged = F.when(reset, F.col(c.name)).otherwise(
+                    F.coalesce(F.col(c.name), F.col(f"__old_{c.name}"))
+                )
+                sel.append(merged.alias(c.name))
+            for n, _t in SYSTEM_COLUMNS:
+                if n == "_lsn":
+                    sel.append(F.col("_lsn"))  # always the fold's LSN
+                    continue
+                merged = F.when(reset, F.col(n)).otherwise(
+                    F.coalesce(F.col(n), F.col(f"__old_{n}"))
+                )
+                sel.append(merged.alias(n))
+            upserts = j.select(*sel, F.col("__bucket"))
+        else:
+            upserts = changes.filter(F.col("op") != "D").select(
+                *[F.col(c.name) for c in cols],
+                *[F.col(n) for n, _ in SYSTEM_COLUMNS],
+                F.col("__bucket"),
+            )
         unioned = survivors.select(
             *[F.col(c.name) for c in cols],
             *[F.col(n) for n, _ in SYSTEM_COLUMNS],

@@ -900,6 +900,199 @@ def cdc_lineage_manifest(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_incremental_read",
+    """
+    WITH params AS (
+      SELECT max(event_id) + 1 AS head, (max(event_id) + 2) // 2 AS delta
+      FROM events),
+    ev AS (
+      SELECT 'r' || (user_id % 10)::VARCHAR AS repo,
+             'p' || user_id::VARCHAR AS path,
+             event_id + 1 AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             coalesce(props, '') AS content
+      FROM events),
+    s1 AS (
+      SELECT * FROM (
+        SELECT repo, path, lsn, op, content,
+               row_number() OVER (PARTITION BY repo, path
+                                  ORDER BY lsn DESC) AS rn
+        FROM ev, params WHERE lsn <= delta)
+      WHERE rn = 1 AND op <> 'D'),
+    s2 AS (
+      SELECT * FROM (
+        SELECT repo, path, lsn, op, content,
+               row_number() OVER (PARTITION BY repo, path
+                                  ORDER BY lsn DESC) AS rn
+        FROM ev)
+      WHERE rn = 1 AND op <> 'D')
+    SELECT coalesce(s2.repo, s1.repo) AS repo,
+           coalesce(s2.path, s1.path) AS path,
+           CASE WHEN s1.repo IS NULL THEN 'insert'
+                WHEN s2.repo IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           coalesce(s2.lsn, s1.lsn) AS lsn,
+           sha256(replace(replace(coalesce(s2.content, s1.content),
+                                  chr(13) || chr(10), chr(10)),
+                          chr(13), chr(10))) AS sha
+    FROM s2 FULL OUTER JOIN s1
+      ON s2.repo = s1.repo AND s2.path = s1.path
+    WHERE s1.repo IS NULL OR s2.repo IS NULL OR s2.lsn <> s1.lsn
+    """,
+)
+def cdc_incremental_read(spark, sf_dir):
+    """Incremental changelog read of the LAKE TABLE itself
+    (LakeTable.changes — the Iceberg changelog-scan / Delta CDF
+    surface), ENGINE-TRUE: map events to a 2-batch changelog, replay
+    it through the real ReplayEngine, then diff the two committed
+    snapshots. The oracle recomputes per-key state at each snapshot
+    (max-LSN winner, deletes dropped) and classifies
+    insert/update/delete with post-image sha for I/U and PRE-image
+    sha + lsn for deletes — exactly changes()'s contract."""
+    import hashlib
+    import shutil
+
+    import dx
+    from dx.engine import ReplayEngine
+    from dx.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.lit(0).cast("long").alias("batch_seq"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("ddl_action"),
+        F.lit(None).cast("string").alias("ddl_column"),
+        F.lit(None).cast("string").alias("ddl_type"),
+        F.col("ts").alias("event_ts"),
+    )
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    root = os.path.join(
+        repo_tmp, f"q_increm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=8)
+    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
+    engine.run(max_batches=1)
+    s1 = table.meta()["snapshot_id"]
+    engine.run()
+    return table.changes(s1).select(
+        "repo", "path",
+        F.col("_change_type").alias("change_type"),
+        F.col("_lsn").alias("lsn"),
+        F.col("_content_sha").alias("sha"),
+    )
+
+
+@query(
+    "cdc_partial_update",
+    """
+    WITH ev AS (
+      SELECT 'r' || (user_id % 10)::VARCHAR AS repo,
+             'p' || user_id::VARCHAR AS path,
+             event_id + 1 AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN event_type = 'error'
+                  THEN md5(event_id::VARCHAR) END AS cmt,
+             CASE WHEN event_type = 'signup'
+                  THEN 'l' || (event_id % 5)::VARCHAR END AS lang,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN coalesce(props, '') END AS content
+      FROM events),
+    d AS (SELECT repo, path, max(lsn) AS d_lsn
+          FROM ev WHERE op = 'D' GROUP BY 1, 2),
+    x AS (SELECT e.*, coalesce(d.d_lsn, -1) AS d_lsn
+          FROM ev e LEFT JOIN d ON e.repo = d.repo AND e.path = d.path),
+    f AS (
+      SELECT repo, path, max(lsn) AS lsn,
+             max_by(op, lsn) AS op_final,
+             max_by(cmt, CASE WHEN op <> 'D' AND lsn > d_lsn
+                               AND cmt IS NOT NULL THEN lsn END) AS cmt,
+             max_by(lang, CASE WHEN op <> 'D' AND lsn > d_lsn
+                               AND lang IS NOT NULL THEN lsn END) AS lang,
+             max_by(content, CASE WHEN op <> 'D' AND lsn > d_lsn
+                                  AND content IS NOT NULL THEN lsn END)
+               AS content
+      FROM x GROUP BY 1, 2)
+    SELECT repo, path, lsn, cmt, lang, content,
+           CASE WHEN content IS NOT NULL THEN sha256(content) END AS sha
+    FROM f WHERE op_final <> 'D'
+    """,
+)
+def cdc_partial_update(spark, sf_dir):
+    """X10 partial-update merge, ENGINE-TRUE: events become
+    COLUMN-LEVEL change events (each event_type touches a different
+    column; purchase = delete), folded per batch with
+    dedup.fold_partial and applied in TWO merge(update_mode='partial')
+    batches to a scratch LakeTable. The oracle computes the global
+    fold (latest non-null per column after each key's last delete) —
+    equality is exactly the batch-split-invariance property the fold
+    guarantees, plus the coalesce-with-stored-state semantics of the
+    partial MERGE."""
+    import hashlib
+    import shutil
+
+    import dx
+    from dx.dedup import fold_partial
+    from dx.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(F.col("event_type") == "error",
+               F.md5(F.col("event_id").cast("string"))).alias("commit"),
+        F.when(F.col("event_type") == "signup",
+               F.concat(F.lit("l"), (F.col("event_id") % 5).cast("string"))
+               ).alias("lang"),
+        F.when(F.col("event_type").isin("view", "click"),
+               F.coalesce(F.col("props"), F.lit(""))).alias("content"),
+    )
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    root = os.path.join(
+        repo_tmp, f"q_partial_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=8)
+    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    delta = (head + 1) // 2
+    for i, (lo, hi) in enumerate([(0, delta), (delta, head)]):
+        batch = changelog.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        folded = fold_partial(batch).withColumnRenamed("lsn", "_lsn")
+        changes = folded.select(
+            "repo", "path", "commit", "lang", "content",
+            F.when(F.col("content").isNotNull(),
+                   F.sha2(F.col("content"), 256)).alias("_content_sha"),
+            "_lsn", "op", "__reset",
+        )
+        table.merge(changes, batch_id=f"b{i + 1}", watermark_hi=hi,
+                    update_mode="partial")
+    return table.read(include_system=True).select(
+        "repo", "path",
+        F.col("_lsn").alias("lsn"),
+        F.col("commit").alias("cmt"),
+        "lang", "content",
+        F.col("_content_sha").alias("sha"),
+    )
+
+
 _QUERYSQL = (
     "SELECT o_orderpriority, count(*) AS n_orders, "
     "min(o_orderkey) AS first_key, max(o_orderkey) AS last_key "

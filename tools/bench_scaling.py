@@ -85,9 +85,20 @@ def worker(cpus: int) -> None:
     # identical physical plan (32 tasks/stage); only how many run at
     # once differs — the single-box analogue of holding the job constant
     # while changing executor count.
+    # Conf knobs for same-plan experiments (applied identically at every
+    # parallelism level by the caller): DX_EXTRA_JAVA (JVM flags, e.g.
+    # -XX:+UseParallelGC), DX_IO_CODEC (shuffle/spill codec), and
+    # DX_SHUFFLE_PARTS (fixed partition count — same at both levels so
+    # the physical plan stays identical).
+    extra = {"spark.driver.memory": os.environ.get("DX_DRIVER_MEM", "48g")}
+    if os.environ.get("DX_EXTRA_JAVA"):
+        extra["spark.driver.extraJavaOptions"] = os.environ["DX_EXTRA_JAVA"]
+    if os.environ.get("DX_IO_CODEC"):
+        extra["spark.io.compression.codec"] = os.environ["DX_IO_CODEC"]
     spark = get_spark(
-        f"dx-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=32,
-        extra_conf={"spark.driver.memory": "48g"},
+        f"dx-scale-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("DX_SHUFFLE_PARTS", 32)),
+        extra_conf=extra,
     )
     changelog = spark.read.parquet(LOG)
     n_events = changelog.count()

@@ -1,0 +1,210 @@
+"""Alternating same-session A/B scaling protocol (round-2 verdict #1).
+
+Round 2's lesson: cross-session pairings are invalid on this shared
+host (13-31s best-of-3 drift at local[32] across sessions), so single
+protocol runs landed anywhere in 0.42-0.87 for the 8->32 pair. This
+tool interleaves the two parallelism levels WITHIN one session —
+lo,hi,lo,hi,... (>= 3 pairs) — so each pair's two sides see the same
+host window, and reports every per-pair efficiency plus the median.
+
+Two modes, identical replay job (same 32M-event changelog, seed 42,
+fixed 32 shuffle partitions -> identical physical plan at both
+levels; only concurrent execution slots differ):
+
+- ``threads``: the mandated local[8] vs local[32] pair, CPU-pinned
+  subprocess per level (reuses tools/bench_scaling.py's worker).
+  Both levels share ONE driver JVM heap, so GC load grows
+  superlinearly with threads — the single-box artifact PROFILE.md
+  attributes the historical shortfall to.
+- ``executors``: local-cluster[2,4,m] vs local-cluster[8,4,m] via
+  ``spark-submit --py-files dist/dx.zip`` — N vs 4N REAL executor
+  JVMs, 4 cores and an own heap each. This is the shape the
+  north_rule names ("N and 4N executors", BASELINE.json:14): on a
+  real cluster each executor has a private heap, so per-heap
+  allocation pressure is constant across cluster sizes. Exercises
+  the spark-submit packaging path end-to-end as a side effect.
+
+Usage:
+    python tools/bench_scaling_ab.py [--mode threads|executors|both]
+                                     [--pairs 3] [--reps 3] [--keep-log]
+    python tools/bench_scaling_ab.py --worker-exec 2   # (internal)
+
+Env: DX_SCALE_KEYS (default 8_000_000 -> ~32M events, the official
+protocol size), DX_AB_EXEC_MEM_MB (default 6144).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("DX_SCALE_KEYS", "8000000")
+import bench_scaling as bs  # noqa: E402  (shares WD/LOG/generate)
+
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+EXEC_MEM_MB = int(os.environ.get("DX_AB_EXEC_MEM_MB", 6144))
+CORES_PER_EXEC = 4
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def worker_exec(n_exec: int, reps: int) -> None:
+    """Replay the shared changelog under the spark-submit-provided
+    local-cluster master; print one JSON line (bs.worker's shape)."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dx.engine import ReplayEngine
+    from dx.lake import LakeTable
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    changelog = spark.read.parquet(bs.LOG)
+    n_events = changelog.count()
+    head = changelog.agg(F.max("lsn")).collect()[0][0]
+    times = []
+    for rep in range(reps):
+        lake_dir = os.path.join(bs.WD, f"lake_e{n_exec}_{rep}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        os.sync()
+        time.sleep(2)
+        table = LakeTable.create(spark, lake_dir, n_buckets=32)
+        engine = ReplayEngine(spark, table, changelog, delta=head)
+        t0 = time.monotonic()
+        engine.run()
+        dt = time.monotonic() - t0
+        times.append(dt)
+        log(f"[exec {n_exec}] rep {rep}: {dt:.1f}s ({n_events / dt:,.0f} ev/s)")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    measured = times[1:] if len(times) > 1 else times
+    best = min(measured)
+    print(json.dumps({
+        "executors": n_exec, "cores": n_exec * CORES_PER_EXEC,
+        "events": n_events, "reps_sec": [round(t, 2) for t in times],
+        "best_sec": round(best, 2), "events_per_sec": round(n_events / best, 1),
+    }))
+
+
+def run_threads_level(cpus: int) -> dict:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+         os.path.join(REPO, "tools", "bench_scaling.py"), "--worker", str(cpus)],
+        capture_output=True, text=True, cwd=REPO, check=True,
+        env={**os.environ, "DX_SCALE_REPS": os.environ.get("DX_AB_REPS", "3")},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_exec_level(n_exec: int, reps: int) -> dict:
+    cores = n_exec * CORES_PER_EXEC
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}", SPARK_SUBMIT,
+        "--master", f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]",
+        "--conf", f"spark.executor.memory={EXEC_MEM_MB}m",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", os.path.join(REPO, "dist", "dx.zip"),
+        os.path.abspath(__file__), "--worker-exec", str(n_exec),
+        "--reps", str(reps),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from exec worker: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def run_mode(mode: str, n_pairs: int, reps: int) -> dict:
+    lo, hi = (8, 32) if mode == "threads" else (2, 8)
+    label = (lambda n: f"local[{n}]") if mode == "threads" else (
+        lambda n: f"local-cluster[{n},{CORES_PER_EXEC},{EXEC_MEM_MB}]")
+    pairs = []
+    for i in range(n_pairs):
+        log(f"[ab:{mode}] pair {i + 1}/{n_pairs}: {label(lo)} then {label(hi)}")
+        if mode == "threads":
+            r_lo = run_threads_level(lo)
+            r_hi = run_threads_level(hi)
+        else:
+            r_lo = run_exec_level(lo, reps)
+            r_hi = run_exec_level(hi, reps)
+        eff = r_hi["events_per_sec"] / r_lo["events_per_sec"] / 4.0
+        pairs.append({
+            "pair": i + 1,
+            "lo": label(lo), "hi": label(hi),
+            "events_per_sec_lo": r_lo["events_per_sec"],
+            "events_per_sec_hi": r_hi["events_per_sec"],
+            "reps_lo": r_lo["reps_sec"], "reps_hi": r_hi["reps_sec"],
+            "efficiency": round(eff, 3),
+        })
+        log(f"[ab:{mode}] pair {i + 1}: eff={eff:.3f} "
+            f"({r_lo['events_per_sec']:,.0f} -> {r_hi['events_per_sec']:,.0f} ev/s)")
+    med = statistics.median(p["efficiency"] for p in pairs)
+    return {
+        "mode": mode, "n_lo": lo, "n_hi": hi,
+        "pairs": pairs,
+        "median_efficiency": round(med, 3),
+        "pass": med >= 0.8,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker-exec", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mode", choices=["threads", "executors", "both"],
+                    default="both")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--keep-log", action="store_true",
+                    help="reuse an existing generated changelog")
+    args = ap.parse_args()
+
+    if args.worker_exec is not None:
+        worker_exec(args.worker_exec, args.reps)
+        return 0
+
+    bs.N_KEYS = int(os.environ["DX_SCALE_KEYS"])
+    if not (args.keep_log and os.path.exists(bs.LOG)):
+        log(f"[ab] generating changelog: {bs.N_KEYS} keys")
+        bs.generate()
+    os.environ["DX_AB_REPS"] = str(args.reps)
+
+    if not os.path.exists(os.path.join(REPO, "dist", "dx.zip")):
+        subprocess.run([sys.executable, os.path.join(REPO, "tools", "package.py")],
+                       check=True, cwd=REPO)
+
+    modes = ["executors", "threads"] if args.mode == "both" else [args.mode]
+    results = {m: run_mode(m, args.pairs, args.reps) for m in modes}
+    summary = {
+        "protocol": "alternating same-session A/B (lo,hi per pair)",
+        "n_keys": bs.N_KEYS,
+        "target": 0.8,
+        "modes": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_ab.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
