@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # snappy parquet, vectorized reader are Spark defaults; keep them.
         .config("spark.driver.memory", os.environ.get("DX_DRIVER_MEM", "48g"))
+        # Throughput collector for a batch-replay workload: interleaved
+        # A/B probes (BENCH/conf_probe.json, two independent sessions)
+        # measured G1's concurrent cycles falling behind 32
+        # allocation-heavy threads on one heap — 42.3s -> 16.6s and
+        # 136.8s -> 48.3s for the identical 32M-event replay rep.
+        # Applied to driver AND executors (local mode runs in the
+        # driver JVM; a real cluster inherits it per executor).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

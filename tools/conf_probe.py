@@ -27,11 +27,15 @@ os.environ.setdefault("DX_SCALE_KEYS", "8000000")
 import bench_scaling as bs  # noqa: E402
 
 VARIANTS: dict[str, dict[str, str]] = {
-    "base": {},
+    # dx.session now defaults to ParallelGC, so the G1 baseline must be
+    # pinned explicitly to stay a baseline.
+    "base": {"DX_EXTRA_JAVA": "-XX:+UseG1GC"},
     "pgc": {"DX_EXTRA_JAVA": "-XX:+UseParallelGC"},
     "zstd": {"DX_IO_CODEC": "zstd"},
     "sp128": {"DX_SHUFFLE_PARTS": "128"},
     "pgc_zstd": {"DX_EXTRA_JAVA": "-XX:+UseParallelGC", "DX_IO_CODEC": "zstd"},
+    "pgc_sp128": {"DX_EXTRA_JAVA": "-XX:+UseParallelGC",
+                  "DX_SHUFFLE_PARTS": "128"},
 }
 
 
