@@ -997,6 +997,84 @@ def cdc_incremental_read(spark, sf_dir):
 
 
 @query(
+    "cdc_time_travel",
+    """
+    WITH params AS (
+      SELECT max(event_id) + 1 AS head, (max(event_id) + 2) // 2 AS delta
+      FROM events),
+    ev AS (
+      SELECT 'r' || (user_id % 10)::VARCHAR AS repo,
+             'p' || user_id::VARCHAR AS path,
+             event_id + 1 AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             coalesce(props, '') AS content
+      FROM events)
+    SELECT repo, path, lsn,
+           sha256(replace(replace(content, chr(13) || chr(10), chr(10)),
+                          chr(13), chr(10))) AS sha
+    FROM (
+      SELECT repo, path, lsn, op, content,
+             row_number() OVER (PARTITION BY repo, path
+                                ORDER BY lsn DESC) AS rn
+      FROM ev, params WHERE lsn <= delta)
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time-travel read (`VERSION AS OF`, LakeTable.read(snapshot_id),
+    dx/lake.py:350), ENGINE-TRUE: replay a 2-batch changelog through
+    the real ReplayEngine, keep the mid snapshot id, finish the
+    replay, then read the table AS OF that mid snapshot — the head
+    has moved on, so the query proves committed snapshots stay
+    byte-stable under later commits. The oracle recomputes per-key
+    state at the mid watermark (max-LSN winner ≤ delta, deletes
+    dropped) with the normalized-content sha."""
+    import hashlib
+    import shutil
+
+    import dx
+    from dx.engine import ReplayEngine
+    from dx.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.lit(0).cast("long").alias("batch_seq"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("ddl_action"),
+        F.lit(None).cast("string").alias("ddl_column"),
+        F.lit(None).cast("string").alias("ddl_type"),
+        F.col("ts").alias("event_ts"),
+    )
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    root = os.path.join(
+        repo_tmp, f"q_ttravel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=8)
+    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
+    engine.run(max_batches=1)
+    s1 = table.meta()["snapshot_id"]
+    engine.run()  # head moves past s1; s1 must stay readable + stable
+    return table.read(snapshot_id=s1, include_system=True).select(
+        "repo", "path",
+        F.col("_lsn").alias("lsn"),
+        F.col("_content_sha").alias("sha"),
+    )
+
+
+@query(
     "cdc_partial_update",
     """
     WITH ev AS (
