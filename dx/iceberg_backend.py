@@ -219,6 +219,7 @@ class IcebergTable:
         keys: DataFrame | None = None,
         change_rows: int | None = None,
         mode: str = "mor",
+        update_mode: str = "full",
     ) -> str:
         """LakeTable.merge (X3): the literal MERGE INTO the sandbox
         rewrites as anti-join ∪ upserts / delta files.
@@ -246,19 +247,32 @@ class IcebergTable:
         # planning hints / test hooks; broadcast_keys intentionally unused —
         # never broadcast the payload-bearing source frame (see docstring)
         del keys, change_rows, mode, crash_after_commit, broadcast_keys
+        if update_mode not in ("full", "partial"):
+            raise ValueError(f"unknown update_mode: {update_mode}")
         src = changes.drop("__bucket") if "__bucket" in changes.columns else changes
         src.createOrReplaceTempView("dx_changes")
         self._set_commit_props(batch_id, watermark_hi, lineage)
         self.spark.conf.set("spark.wap.id", batch_id)  # snapshot stamping
+        value_cols = ["commit", "lang", "content", "_content_sha"]
+        if update_mode == "partial":
+            # X10 (LakeTable.merge(update_mode='partial')): untouched
+            # columns stay at their stored value unless a mid-batch
+            # delete reset the key (dedup.fold_partial's __reset flag).
+            reset = ("c.__reset" if "__reset" in src.columns else "false")
+            sets = ", ".join(
+                f"t.{c} = CASE WHEN {reset} THEN c.{c} "
+                f"ELSE coalesce(c.{c}, t.{c}) END"
+                for c in value_cols
+            )
+        else:
+            sets = ", ".join(f"t.{c} = c.{c}" for c in value_cols)
         self.spark.sql(
             f"""
             MERGE INTO {self.fqn} t
             USING dx_changes c
             ON t.repo = c.repo AND t.path = c.path
             WHEN MATCHED AND c.op = 'D' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              t.commit = c.commit, t.lang = c.lang, t.content = c.content,
-              t._content_sha = c._content_sha, t._lsn = c._lsn
+            WHEN MATCHED THEN UPDATE SET {sets}, t._lsn = c._lsn
             WHEN NOT MATCHED AND c.op != 'D' THEN INSERT
               (repo, path, commit, lang, content, _content_sha, _lsn)
               VALUES (c.repo, c.path, c.commit, c.lang, c.content,

@@ -25,59 +25,53 @@ from pyspark.sql import functions as F
 from dx.pipelines.text import tokens, word_shingles
 
 
-def minhash_signature(c: Column, k: int = 8, shingle_n: int = 3) -> Column:
-    """k-element MinHash signature: element i = min over shingles of
-    md5(i || ':' || shingle). String-min over md5 hex is a uniform
-    permutation min — engine-portable (no int128 needed)."""
-    sh = word_shingles(c, shingle_n)
-
-    def hash_with(prefix: str):
-        # NB: must be a 1-arg lambda — PySpark treats a 2-arg transform
-        # lambda as (element, index).
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_with(f"{i}:"))) for i in range(k)]
-    )
-
-
-def band_hashes(sig: Column, bands: int = 4, rows: int = 2) -> Column:
-    """LSH banding: band j = md5 of its ``rows`` concatenated signature
-    elements. Docs agreeing on ANY band are near-dup candidates."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.element_at(sig, j * rows + r + 1) for r in range(rows)]
-                )
-            )
-            for j in range(bands)
-        ]
-    )
+# Universal-hash permutation constants for MinHash: deterministic
+# md5-derived literals, hardcoded identically in the DuckDB oracles
+# (dx/queries_td.py). a_i < P and h < 2^32 keep a*h + b < 2^63 —
+# overflow-free in both engines' int64.
+MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MH_AB = [
+    (1250150343, 10069388), (900231574, 1260435945),
+    (1294180885, 786266819), (781571296, 1161115865),
+    (1617287443, 146054044), (1349824861, 669593129),
+    (612791779, 1610176249), (2084106643, 20107235),
+]
 
 
 def minhash_signatures_df(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 8,
                           shingle_n: int = 3) -> DataFrame:
-    """Signatures via explode → hash-aggregate: one md5 per (shingle,
-    hash-function), folded by a map-side-combined ``min`` per doc.
+    """Signatures via explode → hash-aggregate: ONE md5 per shingle
+    (u32 slice), then k universal-hash permutations
+    ``min((a_i * h + b_i) % P)`` in pure int64 arithmetic.
 
-    This is the scale shape: Spark's higher-order array functions are
-    evaluated interpreted (outside codegen), and nesting them embeds
-    the whole signature tree into every consumer expression — measured
-    40 ms/doc. The exploded aggregate stays in whole-stage codegen and
-    hashes each shingle exactly k times (~0.5 ms/doc), and at 10^10
-    docs the only shuffle is the per-doc partial-combined min rows.
+    This is the scale shape twice over. (1) Explode-aggregate beats
+    the nested higher-order-array form: array transforms evaluate
+    interpreted (outside codegen) and embed the whole signature tree
+    into every consumer expression — measured 40 ms/doc vs ~0.5 ms/doc
+    exploded, and at 10^10 docs the only shuffle is the per-doc
+    partial-combined min rows. (2) One md5 per shingle beats md5 per
+    (shingle, i): the hash stage is the linear-CPU term that dominates
+    once scan/shuffle overhead amortizes — 8× fewer md5 calls; the
+    same-session A/B (tools/ab_minhash.py, sf0.1) measured wall
+    3.12s → 2.63s with the fixed scan/shuffle overhead still attached
+    (the md5 delta alone is ~0.49s of a ~0.56s hash stage).
     Docs with fewer than ``shingle_n`` tokens have no shingles and drop
     out (our corpus guarantees ≥ shingle_n tokens per doc).
 
-    Output: id_col, mh0..mh{k-1}.
+    Output: id_col, mh0..mh{k-1} (int64 in [0, P)).
     """
+    if k > len(MH_AB):
+        raise ValueError(f"k={k} exceeds {len(MH_AB)} permutation constants")
     sh = word_shingles(F.col(text_col), shingle_n)
-    ex = df.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    ex = df.select(F.col(id_col), F.explode(sh).alias("__sh")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10)
+        .cast("long").alias("__h"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MH_AB[:k])
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
@@ -101,7 +95,9 @@ def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         *[
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"mh{j * rows + r}") for r in range(rows)]
+                    "|",
+                    *[F.col(f"mh{j * rows + r}").cast("string")
+                      for r in range(rows)],
                 )
             )
             for j in range(bands)

@@ -48,6 +48,26 @@ def _emb(spark, sf_dir):
 # DuckDB snippets shared by several oracles
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 _U32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+# MinHash permutation constants — single source of truth is
+# dx/pipelines/dedup.MH_AB; rendered as a DuckDB list-of-pairs literal.
+_MH_AB = "[" + ", ".join(f"[{a}, {b}]" for a, b in pdedup.MH_AB) + "]"
+# sig CTE shared by the two minhash oracles: one md5 per shingle
+# (u32 slice), then 8 universal-hash permutation mins — mirrors
+# pdedup.minhash_signatures_df exactly.
+_MH_SIG = f"""
+    sig AS (
+      SELECT doc_id,
+             [list_min([(c[1] * h + c[2]) % 2147483647 for h in hs])
+              for c in {_MH_AB}] AS sg
+      FROM (SELECT doc_id,
+                   [{_U32.format(x='s')} for s in shingles] AS hs
+            FROM sh)
+    ),
+    b AS (
+      SELECT doc_id, j - 1 AS band_idx,
+             md5(sg[2*j - 1]::VARCHAR || '|' || sg[2*j]::VARCHAR) AS band_hash
+      FROM sig, range(1, 5) r(j)
+    )"""
 
 
 # ---------------------------------------------------------------- text
@@ -173,18 +193,7 @@ def td_dedup_exact(spark, sf_dir):
       SELECT doc_id,
              [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    sig AS (
-      SELECT doc_id,
-             [list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
-              for i in range(0, 8)] AS sg
-      FROM sh
-    ),
-    b AS (
-      SELECT doc_id, j - 1 AS band_idx,
-             md5(sg[2*j - 1] || '|' || sg[2*j]) AS band_hash
-      FROM sig, range(1, 5) r(j)
-    )
+    ),{_MH_SIG}
     SELECT band_idx, band_hash, count(*) AS n_docs, min(doc_id) AS min_doc
     FROM b GROUP BY band_idx, band_hash
     """,
@@ -255,18 +264,7 @@ def td_dedup_ngram_jaccard(spark, sf_dir):
       SELECT doc_id,
              [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    sig AS (
-      SELECT doc_id,
-             [list_min([md5(i::VARCHAR || ':' || s) for s in shingles])
-              for i in range(0, 8)] AS sg
-      FROM sh
-    ),
-    b AS (
-      SELECT doc_id, j - 1 AS band_idx,
-             md5(sg[2*j - 1] || '|' || sg[2*j]) AS band_hash
-      FROM sig, range(1, 5) r(j)
-    ),
+    ),{_MH_SIG},
     ok AS (
       SELECT band_idx, band_hash FROM b
       GROUP BY band_idx, band_hash HAVING count(*) <= 16
