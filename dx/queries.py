@@ -900,6 +900,64 @@ def cdc_lineage_manifest(spark, sf_dir):
     )
 
 
+_SCRATCH_2B: dict = {}
+
+
+def _scratch_2batch(spark, sf_dir):
+    """Shared ENGINE-TRUE fixture for cdc_incremental_read and
+    cdc_time_travel: events mapped to the code-changelog shape
+    (op = D on 'purchase', content = props), replayed through the
+    real ReplayEngine in two batches. Returns (table, mid_snapshot).
+
+    Memoized PER PROCESS only: the two queries are deterministic over
+    the same build, so a second caller in the same driver/bench/gate
+    process reuses the committed table instead of replaying again; a
+    fresh process always rebuilds from scratch (no stale-disk reuse —
+    the root is rmtree'd before every build)."""
+    import hashlib
+    import shutil
+
+    import dx
+    from dx.engine import ReplayEngine
+    from dx.lake import LakeTable
+
+    if sf_dir in _SCRATCH_2B:
+        return _SCRATCH_2B[sf_dir]
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.lit(0).cast("long").alias("batch_seq"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("ddl_action"),
+        F.lit(None).cast("string").alias("ddl_column"),
+        F.lit(None).cast("string").alias("ddl_type"),
+        F.col("ts").alias("event_ts"),
+    )
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    root = os.path.join(
+        repo_tmp, f"q_increm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=8)
+    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
+    engine.run(max_batches=1)
+    s1 = table.meta()["snapshot_id"]
+    engine.run()
+    _SCRATCH_2B[sf_dir] = (table, s1)
+    return _SCRATCH_2B[sf_dir]
+
+
 @query(
     "cdc_incremental_read",
     """
@@ -945,49 +1003,12 @@ def cdc_incremental_read(spark, sf_dir):
     """Incremental changelog read of the LAKE TABLE itself
     (LakeTable.changes — the Iceberg changelog-scan / Delta CDF
     surface), ENGINE-TRUE: map events to a 2-batch changelog, replay
-    it through the real ReplayEngine, then diff the two committed
-    snapshots. The oracle recomputes per-key state at each snapshot
-    (max-LSN winner, deletes dropped) and classifies
+    it through the real ReplayEngine (_scratch_2batch), then diff the
+    two committed snapshots. The oracle recomputes per-key state at
+    each snapshot (max-LSN winner, deletes dropped) and classifies
     insert/update/delete with post-image sha for I/U and PRE-image
     sha + lsn for deletes — exactly changes()'s contract."""
-    import hashlib
-    import shutil
-
-    import dx
-    from dx.engine import ReplayEngine
-    from dx.lake import LakeTable
-
-    ev = _t(spark, sf_dir, "events")
-    changelog = ev.select(
-        (F.col("event_id") + 1).alias("lsn"),
-        F.lit(0).cast("long").alias("batch_seq"),
-        (F.col("user_id") % 8).cast("int").alias("source_partition"),
-        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.md5(F.col("event_id").cast("string")).alias("commit"),
-        F.lit("python").alias("lang"),
-        F.coalesce(F.col("props"), F.lit("")).alias("content"),
-        F.lit(None).cast("map<string,string>").alias("extra"),
-        F.lit(None).cast("string").alias("ddl_action"),
-        F.lit(None).cast("string").alias("ddl_column"),
-        F.lit(None).cast("string").alias("ddl_type"),
-        F.col("ts").alias("event_ts"),
-    )
-    repo_tmp = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
-    )
-    os.makedirs(repo_tmp, exist_ok=True)
-    root = os.path.join(
-        repo_tmp, f"q_increm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, n_buckets=8)
-    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
-    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
-    engine.run(max_batches=1)
-    s1 = table.meta()["snapshot_id"]
-    engine.run()
+    table, s1 = _scratch_2batch(spark, sf_dir)
     return table.changes(s1).select(
         "repo", "path",
         F.col("_change_type").alias("change_type"),
@@ -1023,50 +1044,14 @@ def cdc_incremental_read(spark, sf_dir):
 def cdc_time_travel(spark, sf_dir):
     """Time-travel read (`VERSION AS OF`, LakeTable.read(snapshot_id),
     dx/lake.py:350), ENGINE-TRUE: replay a 2-batch changelog through
-    the real ReplayEngine, keep the mid snapshot id, finish the
+    the real ReplayEngine (_scratch_2batch — shared with
+    cdc_incremental_read), keep the mid snapshot id, finish the
     replay, then read the table AS OF that mid snapshot — the head
     has moved on, so the query proves committed snapshots stay
     byte-stable under later commits. The oracle recomputes per-key
     state at the mid watermark (max-LSN winner ≤ delta, deletes
     dropped) with the normalized-content sha."""
-    import hashlib
-    import shutil
-
-    import dx
-    from dx.engine import ReplayEngine
-    from dx.lake import LakeTable
-
-    ev = _t(spark, sf_dir, "events")
-    changelog = ev.select(
-        (F.col("event_id") + 1).alias("lsn"),
-        F.lit(0).cast("long").alias("batch_seq"),
-        (F.col("user_id") % 8).cast("int").alias("source_partition"),
-        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.md5(F.col("event_id").cast("string")).alias("commit"),
-        F.lit("python").alias("lang"),
-        F.coalesce(F.col("props"), F.lit("")).alias("content"),
-        F.lit(None).cast("map<string,string>").alias("extra"),
-        F.lit(None).cast("string").alias("ddl_action"),
-        F.lit(None).cast("string").alias("ddl_column"),
-        F.lit(None).cast("string").alias("ddl_type"),
-        F.col("ts").alias("event_ts"),
-    )
-    repo_tmp = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
-    )
-    os.makedirs(repo_tmp, exist_ok=True)
-    root = os.path.join(
-        repo_tmp, f"q_ttravel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, n_buckets=8)
-    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
-    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
-    engine.run(max_batches=1)
-    s1 = table.meta()["snapshot_id"]
-    engine.run()  # head moves past s1; s1 must stay readable + stable
+    table, s1 = _scratch_2batch(spark, sf_dir)
     return table.read(snapshot_id=s1, include_system=True).select(
         "repo", "path",
         F.col("_lsn").alias("lsn"),
