@@ -77,7 +77,9 @@ def bench_replay(spark) -> dict:
     reps: list[float] = []
     metrics = []
     table = None
-    for rep in range(int(os.environ.get("DX_BENCH_REPLAY_REPS", 2))):
+    # clamp: DX_BENCH_REPLAY_REPS=0 would leave reps empty and
+    # min(reps) below would raise; one rep is the floor.
+    for rep in range(max(1, int(os.environ.get("DX_BENCH_REPLAY_REPS", 2)))):
         lake_dir = os.path.join(wd, f"lake{rep}")
         shutil.rmtree(lake_dir, ignore_errors=True)
         table = LakeTable.create(spark, lake_dir, n_buckets=CPUS)

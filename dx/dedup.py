@@ -153,7 +153,16 @@ def fold_partial(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
     """
     reserved = {*key, lsn_col, "op"}
     if value_cols is None:
-        value_cols = [c for c in df.columns if c not in reserved]
+        # Inferred default excludes engine/system helper columns
+        # (underscore-prefixed: __bucket, __subtask, _lsn, …) and the
+        # replay frame's bookkeeping fields — folding those as payload
+        # would silently corrupt them. A payload column that really
+        # starts with "_" must be passed via value_cols explicitly.
+        helper = {"batch_seq", "source_partition", "event_ts"}
+        value_cols = [
+            c for c in df.columns
+            if c not in reserved and c not in helper and not c.startswith("_")
+        ]
     d_last = (
         df.filter(F.col("op") == "D")
         .groupBy(*key)

@@ -580,16 +580,23 @@ class LakeTable:
         return df.select(*sel)
 
     def seed(self, df: DataFrame, batch_id: str = "seed") -> str:
-        """Initial full load (all buckets written once)."""
+        """Initial full load (all buckets written once). Row count is
+        observed DURING the write action (the _merge_mor Observation
+        shape) — a full initial load is the one batch that touches
+        every byte, so a read-back counting pass would double it."""
+        from pyspark.sql import Observation
+
         meta = self.meta()
         cols = self.columns()
         snap = self._child(meta, batch_id, lineage=[])
         sid = snap["snapshot_id"]
         data = self.with_subtask(df.withColumn("__bucket", self.bucket_expr()))
-        files = self._write_buckets(self._stored_select(data, cols), sid)
-        row_count = int(
-            self.spark.read.parquet(*[f for fl in files.values() for f in fl]).count()
-        ) if files else 0
+        obs = Observation()
+        stored = self._stored_select(data, cols).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        files = self._write_buckets(stored, sid)
+        row_count = int(obs.get["rows"]) if files else 0
         snap["files"] = files
         snap["row_count"] = row_count
         self._write_snapshot(snap, expected_parent=meta["snapshot_id"])

@@ -240,16 +240,25 @@ def cdc_sha256_invariant(spark, sf_dir):
     """,
 )
 def cdc_skew_stats(spark, sf_dir):
-    """X6 hot-key detection feeding salted repartition (dx/skew.py)."""
+    """X6 hot-key detection feeding salted repartition (dx/skew.py).
+
+    ONE pass over events: the batch total is a sum over the per-key
+    counts (empty-partition window over |keys| aggregated rows — the
+    dx/skew.py hot_repos shape), not a second count() action over the
+    data. At 10^10 events a separate total pass doubles the scan."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    total = ev.count()
+    counts = ev.groupBy(F.col("user_id").alias("hot_key")).agg(
+        F.count("*").alias("n_events")
+    )
+    total = F.sum("n_events").over(Window.partitionBy())
     return (
-        ev.groupBy(F.col("user_id").alias("hot_key"))
-        .agg(F.count("*").alias("n_events"))
-        .filter(F.col("n_events") > 50)
-        .withColumn(
-            "share_bps", F.floor(F.col("n_events") * 10000.0 / F.lit(total)).cast("long")
+        counts.withColumn(
+            "share_bps",
+            F.floor(F.col("n_events") * 10000.0 / total).cast("long"),
         )
+        .filter(F.col("n_events") > 50)
     )
 
 
@@ -851,45 +860,38 @@ def cdc_lineage_manifest(spark, sf_dir):
     snapshot chain (dx/manifest.py). The oracle recomputes the
     per-(batch, partition) LSN ranges + row counts the engine must
     have recorded — the deterministic columns of FIXTURES.md F3
-    (snapshot ids / timestamps are per-run and excluded)."""
-    import hashlib
-    import shutil
-
-    import dx
+    (snapshot ids / timestamps are per-run and excluded). The 4-batch
+    replay is memoized per (session, sf_dir) like _scratch_2batch;
+    manifest reconstruction itself is metadata-only and re-runs."""
     from dx import manifest as mf
     from dx.engine import ReplayEngine
     from dx.lake import LakeTable
 
-    ev = _t(spark, sf_dir, "events")
-    changelog = ev.select(
-        (F.col("event_id") + 1).alias("lsn"),
-        F.lit(0).cast("long").alias("batch_seq"),
-        (F.col("user_id") % 8).cast("int").alias("source_partition"),
-        F.lit("U").alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.md5(F.col("event_id").cast("string")).alias("commit"),
-        F.lit("python").alias("lang"),
-        F.coalesce(F.col("props"), F.lit("")).alias("content"),
-        F.lit(None).cast("map<string,string>").alias("extra"),
-        F.lit(None).cast("string").alias("ddl_action"),
-        F.lit(None).cast("string").alias("ddl_column"),
-        F.lit(None).cast("string").alias("ddl_type"),
-        F.col("ts").alias("event_ts"),
-    )
-    # scratch table lives under the repo's .tmp (never outside it)
-    repo_tmp = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
-    )
-    os.makedirs(repo_tmp, exist_ok=True)
-    root = os.path.join(
-        repo_tmp,
-        f"q_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, n_buckets=8)
-    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
-    ReplayEngine(spark, table, changelog, delta=(head + 3) // 4).run()
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        changelog = ev.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            F.lit(0).cast("long").alias("batch_seq"),
+            (F.col("user_id") % 8).cast("int").alias("source_partition"),
+            F.lit("U").alias("op"),
+            F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+            F.md5(F.col("event_id").cast("string")).alias("commit"),
+            F.lit("python").alias("lang"),
+            F.coalesce(F.col("props"), F.lit("")).alias("content"),
+            F.lit(None).cast("map<string,string>").alias("extra"),
+            F.lit(None).cast("string").alias("ddl_action"),
+            F.lit(None).cast("string").alias("ddl_column"),
+            F.lit(None).cast("string").alias("ddl_type"),
+            F.col("ts").alias("event_ts"),
+        )
+        root = _scratch_root("q_lineage", sf_dir)
+        table = LakeTable.create(spark, root, n_buckets=8)
+        head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+        ReplayEngine(spark, table, changelog, delta=(head + 3) // 4).run()
+        return table
+
+    table = _scratch_memo(spark, sf_dir, "lineage4", build)
     m = mf.manifest_df(spark, table)
     return m.select(
         "batch_id",
@@ -900,7 +902,47 @@ def cdc_lineage_manifest(spark, sf_dir):
     )
 
 
-_SCRATCH_2B: dict = {}
+# Per-process memo for ENGINE-TRUE scratch fixtures (the queries below
+# replay a real engine into a scratch LakeTable; one replay per fixture
+# shape per (session, sf_dir) is enough — results are deterministic
+# over the same build). Keyed on the Spark applicationId, not the
+# session object: the fixture's DataFrames are only valid for the
+# SparkContext that built them, and a stopped-then-recreated session
+# gets a fresh appId → fresh build (ADVICE r3 #4).
+_SCRATCH: dict = {}
+
+
+def _scratch_root(prefix: str, sf_dir: str) -> str:
+    """Scratch dir under the repo's .tmp — PID-scoped so two processes
+    gating the same sf_dir concurrently can never rmtree each other's
+    live table mid-read (ADVICE r3 #4). Stale roots left by dead PIDs
+    are swept opportunistically (liveness via /proc, this platform is
+    linux-only per SURVEY §0)."""
+    import hashlib
+    import shutil
+
+    import dx
+
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for d in os.listdir(repo_tmp):
+        if d.startswith(f"{prefix}_{tag}_"):
+            pid = d.rsplit("_", 1)[-1]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(repo_tmp, d), ignore_errors=True)
+    root = os.path.join(repo_tmp, f"{prefix}_{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _scratch_memo(spark, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _SCRATCH:
+        _SCRATCH[key] = build()
+    return _SCRATCH[key]
 
 
 def _scratch_2batch(spark, sf_dir):
@@ -909,53 +951,43 @@ def _scratch_2batch(spark, sf_dir):
     (op = D on 'purchase', content = props), replayed through the
     real ReplayEngine in two batches. Returns (table, mid_snapshot).
 
-    Memoized PER PROCESS only: the two queries are deterministic over
-    the same build, so a second caller in the same driver/bench/gate
-    process reuses the committed table instead of replaying again; a
-    fresh process always rebuilds from scratch (no stale-disk reuse —
-    the root is rmtree'd before every build)."""
-    import hashlib
-    import shutil
-
-    import dx
+    Memoized per (session, sf_dir) via _scratch_memo: the two queries
+    are deterministic over the same build, so a second caller in the
+    same driver/bench/gate process reuses the committed table instead
+    of replaying again; a fresh process always rebuilds from scratch
+    (no stale-disk reuse — _scratch_root rmtree's before every
+    build)."""
     from dx.engine import ReplayEngine
     from dx.lake import LakeTable
 
-    if sf_dir in _SCRATCH_2B:
-        return _SCRATCH_2B[sf_dir]
-    ev = _t(spark, sf_dir, "events")
-    changelog = ev.select(
-        (F.col("event_id") + 1).alias("lsn"),
-        F.lit(0).cast("long").alias("batch_seq"),
-        (F.col("user_id") % 8).cast("int").alias("source_partition"),
-        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.md5(F.col("event_id").cast("string")).alias("commit"),
-        F.lit("python").alias("lang"),
-        F.coalesce(F.col("props"), F.lit("")).alias("content"),
-        F.lit(None).cast("map<string,string>").alias("extra"),
-        F.lit(None).cast("string").alias("ddl_action"),
-        F.lit(None).cast("string").alias("ddl_column"),
-        F.lit(None).cast("string").alias("ddl_type"),
-        F.col("ts").alias("event_ts"),
-    )
-    repo_tmp = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
-    )
-    os.makedirs(repo_tmp, exist_ok=True)
-    root = os.path.join(
-        repo_tmp, f"q_increm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, n_buckets=8)
-    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
-    engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
-    engine.run(max_batches=1)
-    s1 = table.meta()["snapshot_id"]
-    engine.run()
-    _SCRATCH_2B[sf_dir] = (table, s1)
-    return _SCRATCH_2B[sf_dir]
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        changelog = ev.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            F.lit(0).cast("long").alias("batch_seq"),
+            (F.col("user_id") % 8).cast("int").alias("source_partition"),
+            F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+            F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+            F.md5(F.col("event_id").cast("string")).alias("commit"),
+            F.lit("python").alias("lang"),
+            F.coalesce(F.col("props"), F.lit("")).alias("content"),
+            F.lit(None).cast("map<string,string>").alias("extra"),
+            F.lit(None).cast("string").alias("ddl_action"),
+            F.lit(None).cast("string").alias("ddl_column"),
+            F.lit(None).cast("string").alias("ddl_type"),
+            F.col("ts").alias("event_ts"),
+        )
+        root = _scratch_root("q_increm", sf_dir)
+        table = LakeTable.create(spark, root, n_buckets=8)
+        head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+        engine = ReplayEngine(spark, table, changelog, delta=(head + 1) // 2)
+        engine.run(max_batches=1)
+        s1 = table.meta()["snapshot_id"]
+        engine.run()
+        return table, s1
+
+    return _scratch_memo(spark, sf_dir, "2batch", build)
 
 
 @query(
@@ -1103,50 +1135,44 @@ def cdc_partial_update(spark, sf_dir):
     fold (latest non-null per column after each key's last delete) —
     equality is exactly the batch-split-invariance property the fold
     guarantees, plus the coalesce-with-stored-state semantics of the
-    partial MERGE."""
-    import hashlib
-    import shutil
-
-    import dx
+    partial MERGE. The 2-batch fold+merge replay is memoized per
+    (session, sf_dir) like _scratch_2batch."""
     from dx.dedup import fold_partial
     from dx.lake import LakeTable
 
-    ev = _t(spark, sf_dir, "events")
-    changelog = ev.select(
-        (F.col("event_id") + 1).alias("lsn"),
-        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.when(F.col("event_type") == "error",
-               F.md5(F.col("event_id").cast("string"))).alias("commit"),
-        F.when(F.col("event_type") == "signup",
-               F.concat(F.lit("l"), (F.col("event_id") % 5).cast("string"))
-               ).alias("lang"),
-        F.when(F.col("event_type").isin("view", "click"),
-               F.coalesce(F.col("props"), F.lit(""))).alias("content"),
-    )
-    repo_tmp = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(dx.__file__))), ".tmp"
-    )
-    os.makedirs(repo_tmp, exist_ok=True)
-    root = os.path.join(
-        repo_tmp, f"q_partial_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, n_buckets=8)
-    head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
-    delta = (head + 1) // 2
-    for i, (lo, hi) in enumerate([(0, delta), (delta, head)]):
-        batch = changelog.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        folded = fold_partial(batch).withColumnRenamed("lsn", "_lsn")
-        changes = folded.select(
-            "repo", "path", "commit", "lang", "content",
-            F.when(F.col("content").isNotNull(),
-                   F.sha2(F.col("content"), 256)).alias("_content_sha"),
-            "_lsn", "op", "__reset",
+    def build():
+        ev = _t(spark, sf_dir, "events")
+        changelog = ev.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+            F.concat(F.lit("r"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+            F.when(F.col("event_type") == "error",
+                   F.md5(F.col("event_id").cast("string"))).alias("commit"),
+            F.when(F.col("event_type") == "signup",
+                   F.concat(F.lit("l"), (F.col("event_id") % 5).cast("string"))
+                   ).alias("lang"),
+            F.when(F.col("event_type").isin("view", "click"),
+                   F.coalesce(F.col("props"), F.lit(""))).alias("content"),
         )
-        table.merge(changes, batch_id=f"b{i + 1}", watermark_hi=hi,
-                    update_mode="partial")
+        root = _scratch_root("q_partial", sf_dir)
+        table = LakeTable.create(spark, root, n_buckets=8)
+        head = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+        delta = (head + 1) // 2
+        for i, (lo, hi) in enumerate([(0, delta), (delta, head)]):
+            batch = changelog.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            folded = fold_partial(batch).withColumnRenamed("lsn", "_lsn")
+            changes = folded.select(
+                "repo", "path", "commit", "lang", "content",
+                F.when(F.col("content").isNotNull(),
+                       F.sha2(F.col("content"), 256)).alias("_content_sha"),
+                "_lsn", "op", "__reset",
+            )
+            table.merge(changes, batch_id=f"b{i + 1}", watermark_hi=hi,
+                        update_mode="partial")
+        return table
+
+    table = _scratch_memo(spark, sf_dir, "partial2", build)
     return table.read(include_system=True).select(
         "repo", "path",
         F.col("_lsn").alias("lsn"),

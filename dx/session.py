@@ -25,6 +25,17 @@ def get_spark(
     - Arrow on (all payload transforms are vectorized pandas UDFs)
     - shuffle partitions sized to cores locally; on a real cluster the
       submitter overrides via --conf (engine never hardcodes 200).
+
+    JVM-option caveat: ``spark.driver.extraJavaOptions`` set here only
+    takes effect when THIS process launches the JVM (plain
+    ``python ...`` / pyspark-shell). Under ``spark-submit`` client mode
+    or an already-running gateway the driver JVM exists before this
+    code runs and the conf is silently ignored — spark-submit callers
+    must pass ``--conf spark.driver.extraJavaOptions=-XX:+UseParallelGC``
+    (or ``--driver-java-options``) explicitly, as tools/bench_scaling*
+    do. Executor options always apply (executors launch after conf).
+    When a session already exists, getOrCreate() reuses it and ALL
+    confs here are ignored; we warn on a GC mismatch below.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or os.environ.get("DX_MASTER", f"local[{cpus}]")
@@ -62,4 +73,30 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Detect the silently-ignored case (pre-existing driver JVM under
+    # spark-submit client mode, or a reused session): the conf map
+    # echoes whatever we just set, so ask the live JVM which collector
+    # it actually runs (ParallelGC registers "PS Scavenge"/"PS
+    # MarkSweep" beans; G1 registers "G1 ..." ones).
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        gc_names = [beans.get(i).getName() for i in range(beans.size())]
+    except Exception:  # Spark Connect / no py4j introspection — stay quiet
+        gc_names = None
+    if gc_names is not None and not any(n.startswith("PS ") for n in gc_names):
+        import warnings
+
+        warnings.warn(
+            f"driver JVM is running {gc_names}, not ParallelGC — it was "
+            "launched before get_spark() could apply "
+            "spark.driver.extraJavaOptions. Pass --conf "
+            "spark.driver.extraJavaOptions=-XX:+UseParallelGC (or "
+            "--driver-java-options) to spark-submit for the measured "
+            "~2x replay win (BENCH/conf_probe.json).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
