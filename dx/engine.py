@@ -46,7 +46,12 @@ from dx import manifest as mf
 from dx import skew
 from dx.dedup import dedup_bucket_window, dedup_max_lsn, latest_keys
 from dx.lake import KEY, LakeTable
-from dx.transforms import content_sha, normalize_content, normalize_content_udf, sha256_pandas
+from dx.transforms import (
+    content_sha_bin,
+    normalize_content,
+    normalize_content_udf,
+    sha256_bin_pandas,
+)
 
 
 def seed_lake(spark: SparkSession, table: LakeTable, seed_df) -> str:
@@ -58,9 +63,9 @@ def seed_lake(spark: SparkSession, table: LakeTable, seed_df) -> str:
     data = seed_df.select(
         "repo", "path", "commit", "lang",
         normalize_content(F.col("content")).alias("content"),
-    ).withColumn("_content_sha", F.sha2(F.col("content"), 256)).withColumn(
-        "_lsn", F.lit(0).cast("long")
-    )
+    ).withColumn(
+        "_content_sha", F.unhex(F.sha2(F.col("content"), 256))
+    ).withColumn("_lsn", F.lit(0).cast("long"))
     return table.seed(data)
 
 
@@ -160,10 +165,10 @@ class ReplayEngine:
         materialization (the normalize + sha256 invariant, X7)."""
         if self.use_pandas_udfs:
             norm = normalize_content_udf(F.col("content"))
-            sha = sha256_pandas(norm)
+            sha = sha256_bin_pandas(norm)
         else:
             norm = normalize_content(F.col("content"))
-            sha = content_sha(F.col("content"))
+            sha = content_sha_bin(F.col("content"))
         cols = self.table.columns()
         base = {"repo", "path", "commit", "lang"}
         sel = []

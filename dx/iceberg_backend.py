@@ -73,7 +73,7 @@ class IcebergTable:
             f"""
             CREATE TABLE IF NOT EXISTS {self.fqn} (
               repo STRING, path STRING, commit STRING, lang STRING,
-              content STRING, _content_sha STRING, _lsn BIGINT
+              content STRING, _content_sha BINARY, _lsn BIGINT
             )
             USING iceberg
             PARTITIONED BY (bucket({self.n_buckets}, repo))

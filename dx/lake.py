@@ -68,7 +68,13 @@ BASE_COLUMNS = [
     ("content", "string"),
 ]
 KEY = ["repo", "path"]
-SYSTEM_COLUMNS = [("_content_sha", "string"), ("_lsn", "long")]
+# _content_sha is the 32-byte sha256 DIGEST (binary), not hex: half
+# the bytes of the 64-char hex string on every shuffle/write of the
+# payload path, where allocation/GC pressure is the measured 8→32
+# scaling limiter (BENCH/PROFILE.md). Hex only at export/oracle edges
+# (transforms.sha_hex). _stored_select rejects string-typed sha input
+# so a stale hex producer fails loudly instead of storing utf8 bytes.
+SYSTEM_COLUMNS = [("_content_sha", "binary"), ("_lsn", "long")]
 
 
 @dataclass
@@ -570,6 +576,19 @@ class LakeTable:
 
     def _stored_select(self, df: DataFrame, columns: list[ColumnSpec],
                        include_op: bool = False) -> DataFrame:
+        # Guard the one silent-corruption hazard of binary system
+        # columns: cast(string → binary) is legal Spark and yields the
+        # UTF-8 bytes of the hex text, not the digest. Refuse it.
+        sha_field = next(
+            (f for f in df.schema.fields if f.name == "_content_sha"), None
+        )
+        if sha_field is not None and sha_field.dataType.simpleString() == "string":
+            raise TypeError(
+                "_content_sha must be the 32-byte binary digest "
+                "(transforms.content_sha_bin / sha256_bin_pandas), got "
+                "string — casting hex to binary would store its utf8 "
+                "bytes silently."
+            )
         sel = [F.col(c.name).cast(c.type).alias(c.stored_name) for c in columns]
         sel += [F.col(n).cast(t).alias(n) for n, t in SYSTEM_COLUMNS]
         if include_op:

@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dx.transforms import sha_hex
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -1045,7 +1047,7 @@ def cdc_incremental_read(spark, sf_dir):
         "repo", "path",
         F.col("_change_type").alias("change_type"),
         F.col("_lsn").alias("lsn"),
-        F.col("_content_sha").alias("sha"),
+        sha_hex(F.col("_content_sha")).alias("sha"),
     )
 
 
@@ -1087,7 +1089,7 @@ def cdc_time_travel(spark, sf_dir):
     return table.read(snapshot_id=s1, include_system=True).select(
         "repo", "path",
         F.col("_lsn").alias("lsn"),
-        F.col("_content_sha").alias("sha"),
+        sha_hex(F.col("_content_sha")).alias("sha"),
     )
 
 
@@ -1165,7 +1167,8 @@ def cdc_partial_update(spark, sf_dir):
             changes = folded.select(
                 "repo", "path", "commit", "lang", "content",
                 F.when(F.col("content").isNotNull(),
-                       F.sha2(F.col("content"), 256)).alias("_content_sha"),
+                       F.unhex(F.sha2(F.col("content"), 256))
+                       ).alias("_content_sha"),
                 "_lsn", "op", "__reset",
             )
             table.merge(changes, batch_id=f"b{i + 1}", watermark_hi=hi,
@@ -1178,7 +1181,7 @@ def cdc_partial_update(spark, sf_dir):
         F.col("_lsn").alias("lsn"),
         F.col("commit").alias("cmt"),
         "lang", "content",
-        F.col("_content_sha").alias("sha"),
+        sha_hex(F.col("_content_sha")).alias("sha"),
     )
 
 

@@ -53,6 +53,18 @@ def sha256_pandas(s: pd.Series) -> pd.Series:
     return s.map(sha256_hex_py)
 
 
+def sha256_bin_py(s: str | None) -> bytes | None:
+    if s is None:
+        return None
+    return hashlib.sha256(s.encode("utf-8")).digest()
+
+
+@F.pandas_udf(T.BinaryType())
+def sha256_bin_pandas(s: pd.Series) -> pd.Series:
+    """Binary twin of sha256_pandas for the in-flight representation."""
+    return s.map(sha256_bin_py)
+
+
 def normalize_content(col: Column) -> Column:
     """JVM-side normalization, identical semantics to the pandas path.
 
@@ -71,8 +83,30 @@ def normalize_content(col: Column) -> Column:
 
 
 def content_sha(col: Column) -> Column:
-    """Per-row invariant: sha256 hex of the normalized content."""
+    """Per-row invariant: sha256 hex of the normalized content.
+
+    This is the EDGE form (oracle compares, exports, user-facing
+    queries). In-flight/stored sha is the 32-byte binary form below —
+    half the bytes of the 64-char hex string on the hottest
+    shuffle+write path, where GC pressure is the measured 8→32
+    scaling limiter (BENCH/PROFILE.md)."""
     return F.sha2(normalize_content(col), 256)
+
+
+def content_sha_bin(col: Column) -> Column:
+    """32-byte binary sha256 of normalized content — the in-flight /
+    stored representation (lake SYSTEM_COLUMNS). sha2 only emits hex,
+    so unhex folds it back to the digest inside the same codegen
+    stage; the transient hex never survives to the shuffle or the
+    parquet encoder. Hex at the edges via sha_hex()."""
+    return F.unhex(F.sha2(normalize_content(col), 256))
+
+
+def sha_hex(col: Column) -> Column:
+    """Export edge: stored binary digest → lowercase hex (the form
+    DuckDB's sha256() and the reference invariant compare against;
+    Spark's hex() is uppercase, hence the lower)."""
+    return F.lower(F.hex(col))
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ import hashlib
 
 import pandas as pd
 
-from dx.transforms import normalize_content_py, sha256_hex_py
+from dx.transforms import normalize_content_py, sha256_bin_py
 
 
 def _cast(value: str | None, col_type: str):
@@ -82,7 +82,7 @@ def replay(seed_df: pd.DataFrame, changelog: pd.DataFrame) -> pd.DataFrame:
         }
         for name, fid, _ty in active:
             row[name] = st["vals"].get(fid)
-        row["_content_sha"] = sha256_hex_py(st["content"])
+        row["_content_sha"] = sha256_bin_py(st["content"])
         row["_lsn"] = st["_lsn"]
         rows.append(row)
     cols = ["repo", "path", "commit", "lang", "content"] + [a[0] for a in active] + [
@@ -105,4 +105,11 @@ def state_hash(df: pd.DataFrame) -> str:
 def spark_state_to_pandas(df) -> pd.DataFrame:
     """Collect a Spark final-state frame into oracle-comparable pandas."""
     pdf = df.toPandas()
+    if "_content_sha" in pdf.columns:
+        # binary column: the non-Arrow collect path yields bytearray —
+        # normalize to bytes so comparisons/state_hash match the
+        # oracle's hashlib digests exactly.
+        pdf["_content_sha"] = pdf["_content_sha"].map(
+            lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+        )
     return pdf.sort_values(["repo", "path"]).reset_index(drop=True)

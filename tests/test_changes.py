@@ -26,12 +26,12 @@ def _changelog(spark, rows):
 
 
 def _apply(table, df, batch_id, hi):
-    from dx.transforms import content_sha, normalize_content
+    from dx.transforms import content_sha_bin, normalize_content
 
     changes = df.select(
         "repo", "path", "commit", "lang",
         normalize_content(F.col("content")).alias("content"),
-        content_sha(F.col("content")).alias("_content_sha"),
+        content_sha_bin(F.col("content")).alias("_content_sha"),
         F.col("lsn").alias("_lsn"),
         "op",
     )
@@ -115,13 +115,13 @@ def test_changes_across_schema_evolution(seeded, spark):
         (8, "U", "r2", "c.py", "c3", "py", "v2 of c"),
         (9, "D", "r1", "a.py", "c3", "py", ""),
     ]).withColumn("extra", F.create_map(F.lit("stars"), F.lit("42")))
-    from dx.transforms import content_sha, normalize_content
+    from dx.transforms import content_sha_bin, normalize_content
 
     changes = df.select(
         "repo", "path", "commit", "lang",
         normalize_content(F.col("content")).alias("content"),
         F.col("extra").getItem("stars").cast("long").alias("stars"),
-        content_sha(F.col("content")).alias("_content_sha"),
+        content_sha_bin(F.col("content")).alias("_content_sha"),
         F.col("lsn").alias("_lsn"),
         "op",
     )

@@ -53,8 +53,8 @@ def test_fold_partial_delete_resets(spark):
 def _apply_partial(table, df):
     changes = df.select(
         "repo", "path", "commit", "lang", "content",
-        F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256))
-        .alias("_content_sha"),
+        F.when(F.col("content").isNotNull(),
+               F.unhex(F.sha2(F.col("content"), 256))).alias("_content_sha"),
         "_lsn", "op", "__reset",
     )
     hi = df.agg(F.max("_lsn")).collect()[0][0]
@@ -145,7 +145,8 @@ def test_partial_requires_cow(spark, tmp_path):
 def _apply_partial_mor(table, df):
     changes = df.select(
         "repo", "path", "commit", "lang", "content",
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("_content_sha"),
+        F.unhex(F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        .alias("_content_sha"),
         F.col("lsn").alias("_lsn"),
         "op", "__reset",
     )

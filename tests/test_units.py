@@ -82,6 +82,32 @@ def test_sha256_jvm_vs_pandas_vs_python(spark):
         assert r["arrow"] == expected, f"Arrow sha mismatch on {r['content']!r}"
 
 
+def test_sha_binary_roundtrip_and_parity(spark):
+    """In-flight binary digest (content_sha_bin / sha256_bin_pandas)
+    must be the exact digest bytes of the hex edge form, and sha_hex
+    must round it back to DuckDB-comparable lowercase hex."""
+    from dx.transforms import content_sha_bin, sha256_bin_pandas, sha_hex
+
+    df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "content string")
+    out = df.select(
+        "content",
+        content_sha_bin(F.col("content")).alias("bin_jvm"),
+        sha256_bin_pandas(normalize_content_udf(F.col("content"))).alias("bin_arrow"),
+        sha_hex(content_sha_bin(F.col("content"))).alias("hex_rt"),
+        content_sha(F.col("content")).alias("hex_edge"),
+    ).collect()
+    for r in out:
+        hex_expected = sha256_hex_py(normalize_content_py(r["content"]))
+        bin_expected = bytes.fromhex(hex_expected) if hex_expected else None
+        got_jvm = bytes(r["bin_jvm"]) if r["bin_jvm"] is not None else None
+        got_arrow = bytes(r["bin_arrow"]) if r["bin_arrow"] is not None else None
+        assert got_jvm == bin_expected, f"bin JVM mismatch on {r['content']!r}"
+        assert got_arrow == bin_expected, f"bin Arrow mismatch on {r['content']!r}"
+        assert r["hex_rt"] == r["hex_edge"] == hex_expected
+        if got_jvm is not None:
+            assert len(got_jvm) == 32
+
+
 def test_normalization_jvm_vs_python(spark):
     df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "content string")
     for r in df.select("content", normalize_content(F.col("content")).alias("n")).collect():
