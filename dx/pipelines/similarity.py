@@ -11,14 +11,19 @@
   buckets; ANN probes only matching/nearby buckets — at 10^10 vectors
   the bucket id is the shuffle key and the flat scan disappears.
 
-Everything is JVM higher-order array math (zip_with/aggregate) — no
-UDF in the hot path.
+Distance math is JVM higher-order array math (zip_with/aggregate),
+with one measured exception: IVF coarse assignment defaults to an
+Arrow-batched int64-numpy matmul (see ivf_assign — interpreted HOF
+lambdas never enter codegen, and the A/B shows matmul 9.5–54× faster
+at k=16–256 with bit-identical output).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,19 +148,37 @@ def ivf_centroids(df: DataFrame, k: int = 16, id_col: str = "vec_id",
 
 
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[int]]],
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               impl: str = "matmul") -> DataFrame:
     """Inverted-file (IVF) coarse assignment: each vector goes to the
     centroid with the max integer dot product (IP quantizer, the
-    IndexIVFFlat-IP shape); ties break to the smallest centroid index
-    (array_position returns the FIRST max). Exact int64 math — the
-    DuckDB oracle reproduces every assignment. At 10^10 vectors the
-    centroid id becomes the partition key and a query probes only its
-    top-P lists. The k×dim dot products here are interpreted
-    higher-order functions — fine for small k; a pandas-UDF matmul is
-    the production form for k in the thousands.
+    IndexIVFFlat-IP shape); ties break to the smallest centroid index.
+    Exact int64 math — the DuckDB oracle reproduces every assignment.
+    At 10^10 vectors the centroid id becomes the partition key and a
+    query probes only its top-P lists.
+
+    Two bit-identical implementations (pytest-equivalence-tested):
+
+    - ``impl="matmul"`` (default): one Arrow-batched pandas UDF
+      computing ``V @ C.T`` in int64 numpy per batch (products <
+      2^40, dim-64 sums < 2^46 + k-way max — exact), argmax ties to
+      the FIRST max like array_position. The k×dim centroid matrix
+      ships once per task in the closure; plan size is O(1) in k.
+    - ``impl="hof"``: k interpreted higher-order ``aggregate`` dot
+      products per row, zero Python; the expression tree grows
+      O(k·dim). Kept as the UDF-free twin and the equivalence anchor.
+
+    There is NO crossover — the interleaved A/B
+    (tools/ab_ivf_assign.py, BENCH/AB_IVF_ASSIGN.json) measures
+    matmul 9.5× faster at k=16 and 54× at k=256: Spark never
+    code-gens interpreted HOF lambdas, so the "zero Python" form pays
+    per-row interpretation that dwarfs one Arrow hop. Measurement
+    over philosophy, same as the fingerprint reversal.
 
     Output: id_col, centroid (0-based index), dot_q (winning score).
     """
+    if impl == "matmul":
+        return _ivf_assign_matmul(df, centroids, id_col, vec_col)
     v = quantize(F.col(vec_col))
     scores = F.array(
         *[dot_q(v, F.array(*[F.lit(x).cast("long") for x in c]))
@@ -167,6 +190,33 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[int]]],
         .alias("centroid"),
         F.array_max(scores).alias("dot_q"),
     )
+
+
+def _ivf_assign_matmul(df: DataFrame, centroids: list[tuple[int, list[int]]],
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Matmul form of ivf_assign — see its docstring. Quantization
+    happens inside the UDF with the same float64 op chain as
+    quantize() (cast float→double, ·1000, floor), so assignments are
+    bit-identical to the HOF form."""
+    cmat = np.array([c for _, c in centroids], dtype=np.int64)  # k×dim
+
+    @F.pandas_udf("struct<centroid: long, dot_q: long>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"centroid": [], "dot_q": []})
+        v = np.floor(
+            np.stack(vecs.to_numpy()).astype(np.float64) * QUANT
+        ).astype(np.int64)                       # n×dim, == quantize()
+        scores = v @ cmat.T                      # n×k int64 exact
+        best = scores.argmax(axis=1)             # first max, like
+        return pd.DataFrame({                    # array_position
+            "centroid": best.astype(np.int64),
+            "dot_q": scores[np.arange(len(best)), best],
+        })
+
+    a = df.select(F.col(id_col), assign(F.col(vec_col)).alias("a"))
+    return a.select(F.col(id_col), F.col("a.centroid").alias("centroid"),
+                    F.col("a.dot_q").alias("dot_q"))
 
 
 def ivf_bucket_stats(df: DataFrame, k: int = 16, id_col: str = "vec_id",

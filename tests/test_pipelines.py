@@ -187,3 +187,25 @@ def test_ivf_assignment_and_probe(vectors):
     top = sim.ivf_topk(vectors, query_id=100, k=3, n_lists=8, nprobe=2).collect()
     assert top and top[0]["vec_id"] == 7
     assert top[0]["cos_bps"] >= 9990
+
+
+def test_ivf_assign_matmul_equivalence(vectors):
+    """The pandas-UDF matmul form of ivf_assign (production k) is
+    bit-identical to the HOF form — same centroid AND same winning
+    dot_q for every vector, including the argmax-ties-to-first rule
+    (array_position semantics)."""
+    cents = sim.ivf_centroids(vectors, k=16)
+    hof = {r["vec_id"]: (r["centroid"], r["dot_q"])
+           for r in sim.ivf_assign(vectors, cents, impl="hof").collect()}
+    mm = {r["vec_id"]: (r["centroid"], r["dot_q"])
+          for r in sim.ivf_assign(vectors, cents, impl="matmul").collect()}
+    assert hof == mm
+    # exercise the tie rule explicitly: duplicate centroid 0 as
+    # centroid k — every vector scoring max on it must pick index 0
+    dup = cents + [cents[0]]
+    mm2 = sim.ivf_assign(vectors, dup, impl="matmul").collect()
+    hof2 = sim.ivf_assign(vectors, dup, impl="hof").collect()
+    m2 = {r["vec_id"]: (r["centroid"], r["dot_q"]) for r in mm2}
+    h2 = {r["vec_id"]: (r["centroid"], r["dot_q"]) for r in hof2}
+    assert m2 == h2
+    assert all(c != len(dup) - 1 for c, _ in m2.values())
