@@ -2,11 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; decode / feature-extract steps are Arrow-batched
-``mapInPandas`` stages. The image/audio libraries are NOT in this
-container, so the decoder body is a clearly-marked deterministic fake
-(`_fake_decode`) behind the same signature a real one (PIL / soundfile
-/ av) would have — the Spark-side plumbing (schema, batch shape,
-partitioning) is real and tested.
+``mapInPandas`` stages. The decoder routes through PIL when it is
+importable (``HAS_PIL``): real image bytes yield real
+format/width/height. This sandbox container does not ship PIL, so
+payloads that PIL can't open — and every payload when PIL is absent —
+fall back to the clearly-marked deterministic fake (`_fake_decode`)
+behind the same signature, keeping the Spark-side plumbing (schema,
+batch shape, partitioning) real and tested in both environments.
 
 At scale: binary payloads never enter a shuffle — the decode stage is
 a narrow map over the scan, and downstream ops keep only extracted
@@ -17,11 +19,20 @@ wide transform.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional real codec — absent in this sandbox
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 DECODED_SCHEMA = (
     "doc_id long, payload_len int, format string, width int, height int, "
@@ -36,17 +47,28 @@ def with_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """STUB decoder. A real implementation would be:
-
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return img.format, img.width, img.height
-
-    (raise NotImplementedError there if PIL is absent). This fake
-    derives deterministic pseudo-metadata from the payload bytes so
-    the plumbing is testable without image libraries.
-    """
+    """STUB decoder: deterministic pseudo-metadata from the payload
+    bytes, so the plumbing is testable without image libraries. Used
+    for every payload when PIL is absent, and as the fallback for
+    bytes PIL can't open when it is present (see _decode)."""
     h = int.from_bytes(payload[:4], "big")
     return ("png" if h % 2 == 0 else "jpeg", h % 640 + 1, (h >> 8) % 480 + 1)
+
+
+def _decode(payload: bytes) -> tuple[str, int, int]:
+    """Real codec when available: PIL open on the bytes → (format,
+    width, height), lowercase format for a stable cross-codec
+    vocabulary. Non-image bytes (this repo's deterministic fake
+    payloads included) fall back to _fake_decode in BOTH environments,
+    so fixture outputs are identical with and without PIL installed."""
+    if HAS_PIL:
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return ((img.format or "unknown").lower(),
+                        int(img.width), int(img.height))
+        except Exception:
+            pass
+    return _fake_decode(payload)
 
 
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,7 +78,7 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (unavoidable for codec libraries) — everything else stays columnar.
     """
     for pdf in batches:
-        meta = [_fake_decode(p) for p in pdf["payload"]]
+        meta = [_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),

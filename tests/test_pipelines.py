@@ -209,3 +209,24 @@ def test_ivf_assign_matmul_equivalence(vectors):
     h2 = {r["vec_id"]: (r["centroid"], r["dot_q"]) for r in hof2}
     assert m2 == h2
     assert all(c != len(dup) - 1 for c, _ in m2.values())
+
+
+def test_multimodal_decode_routes_pil_or_fake():
+    """_decode: real image bytes go through PIL when it's installed
+    (real format/dims); non-image bytes fall back to the deterministic
+    fake in BOTH environments, so fixture outputs are identical with
+    and without the codec library."""
+    import base64
+    import hashlib as hl
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    fmt, w, h = pmm._decode(png_1x1)
+    if pmm.HAS_PIL:
+        assert (fmt, w, h) == ("png", 1, 1)
+    else:
+        assert (fmt, w, h) == pmm._fake_decode(png_1x1)
+    blob = hl.md5(b"not an image").digest()  # the repo's payload shape
+    assert pmm._decode(blob) == pmm._fake_decode(blob)
