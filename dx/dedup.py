@@ -163,6 +163,24 @@ def fold_partial(df: DataFrame, key: list[str] = KEY, lsn_col: str = "lsn",
             c for c in df.columns
             if c not in reserved and c not in helper and not c.startswith("_")
         ]
+        excluded = [
+            c for c in df.columns
+            if c not in reserved and (c in helper or c.startswith("_"))
+        ]
+        if excluded:
+            # ADVICE r4 #2: a caller whose PAYLOAD column is really
+            # named batch_seq/source_partition/event_ts (or starts
+            # with "_") would silently lose it from the fold under
+            # inference — surface the exclusion so they pass
+            # value_cols explicitly.
+            import warnings
+
+            warnings.warn(
+                "fold_partial inferred value_cols excludes "
+                f"{excluded} (engine/system helper names); pass "
+                "value_cols explicitly if any of these are payload",
+                stacklevel=2,
+            )
     d_last = (
         df.filter(F.col("op") == "D")
         .groupBy(*key)

@@ -197,22 +197,38 @@ def _ivf_assign_matmul(df: DataFrame, centroids: list[tuple[int, list[int]]],
     """Matmul form of ivf_assign — see its docstring. Quantization
     happens inside the UDF with the same float64 op chain as
     quantize() (cast float→double, ·1000, floor), so assignments are
-    bit-identical to the HOF form."""
+    bit-identical to the HOF form.
+
+    Degenerate inputs (ADVICE r4 #3): a NULL embedding yields a NULL
+    (centroid, dot_q) row — the same thing the HOF form produces
+    (quantize(NULL) → NULL dots → array_max NULL). Non-finite
+    ELEMENTS (NaN/±inf) raise ValueError: int64 astype of non-finite
+    floats is undefined behavior, so bit-identical equivalence is only
+    promised for finite fixed-length vectors; upstream embedding
+    pipelines must not emit NaN."""
     cmat = np.array([c for _, c in centroids], dtype=np.int64)  # k×dim
 
     @F.pandas_udf("struct<centroid: long, dot_q: long>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
             return pd.DataFrame({"centroid": [], "dot_q": []})
-        v = np.floor(
-            np.stack(vecs.to_numpy()).astype(np.float64) * QUANT
-        ).astype(np.int64)                       # n×dim, == quantize()
-        scores = v @ cmat.T                      # n×k int64 exact
-        best = scores.argmax(axis=1)             # first max, like
-        return pd.DataFrame({                    # array_position
-            "centroid": best.astype(np.int64),
-            "dot_q": scores[np.arange(len(best)), best],
-        })
+        null_mask = vecs.isna().to_numpy()
+        out_c = np.full(len(vecs), None, dtype=object)
+        out_d = np.full(len(vecs), None, dtype=object)
+        if (~null_mask).any():
+            stacked = np.stack(vecs[~null_mask].to_numpy()).astype(np.float64)
+            if not np.isfinite(stacked).all():
+                raise ValueError(
+                    "ivf_assign(impl='matmul'): non-finite embedding "
+                    "elements (NaN/inf) — int64 quantization is "
+                    "undefined; clean the vectors or use impl='hof'"
+                )
+            v = np.floor(stacked * QUANT).astype(np.int64)  # == quantize()
+            scores = v @ cmat.T                   # n×k int64 exact
+            best = scores.argmax(axis=1)          # first max, like
+            out_c[~null_mask] = best.astype(np.int64)   # array_position
+            out_d[~null_mask] = scores[np.arange(len(best)), best]
+        return pd.DataFrame({"centroid": out_c, "dot_q": out_d})
 
     a = df.select(F.col(id_col), assign(F.col(vec_col)).alias("a"))
     return a.select(F.col(id_col), F.col("a.centroid").alias("centroid"),

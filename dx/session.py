@@ -95,7 +95,8 @@ def get_spark(
             "spark.driver.extraJavaOptions. Pass --conf "
             "spark.driver.extraJavaOptions=-XX:+UseParallelGC (or "
             "--driver-java-options) to spark-submit for the measured "
-            "~2x replay win (BENCH/conf_probe.json).",
+            "~2x replay win (BENCH/conf_probe.json; see README 'CLI' "
+            "for the full spark-submit recipe).",
             RuntimeWarning,
             stacklevel=2,
         )

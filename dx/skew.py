@@ -13,24 +13,27 @@ Detection uses a cheap partial-aggregated count (one tiny shuffle of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def hot_repos(df: DataFrame, frac_threshold: float = 0.10, repo_col: str = "repo") -> list[str]:
     """Repos holding more than ``frac_threshold`` of the batch's rows.
 
-    ONE action, one data pass: the groupBy count is map-side combined
-    (the shuffle moves |repos| rows, not data rows), and the batch
-    total is derived from those same per-repo counts via an empty-
-    partition window — no second count() job over the data. The
-    single-partition window is over |repos| rows only (bounded by the
-    repo universe), never over event rows.
+    ONE action: the groupBy count is map-side combined (each shuffle
+    moves |repos| rows, not data rows), and the batch total is a
+    1-row aggregate over those same per-repo counts,
+    broadcast-crossJoined back — NOT a single-partition window: at
+    10^10 events the repo universe itself is millions of rows, and an
+    empty-partition window would pull every one through a single task
+    (ADVICE r4 #1). The narrow combined count runs twice (no
+    ReuseExchange across the aggregate alias); two narrow passes beat
+    one single-task funnel at any real repo cardinality.
     """
     counts = df.groupBy(repo_col).count()
-    total = F.sum("count").over(Window.partitionBy())
+    total = counts.agg(F.sum("count").alias("__total"))
     rows = (
-        counts.withColumn("__total", total)
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("count") > frac_threshold * F.col("__total"))
         .collect()
     )

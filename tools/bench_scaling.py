@@ -95,6 +95,11 @@ def worker(cpus: int) -> None:
         extra["spark.driver.extraJavaOptions"] = os.environ["DX_EXTRA_JAVA"]
     if os.environ.get("DX_IO_CODEC"):
         extra["spark.io.compression.codec"] = os.environ["DX_IO_CODEC"]
+    # generic conf passthrough for same-plan codec/compression A/Bs
+    # (tools/ab_codec.py): "k=v;k=v" applied identically at every level
+    for kv in filter(None, os.environ.get("DX_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     spark = get_spark(
         f"dx-scale-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("DX_SHUFFLE_PARTS", 32)),
