@@ -1181,6 +1181,55 @@ def cdc_partial_update(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_point_read",
+    """
+    WITH ev AS (
+      SELECT 'r' || (user_id % 10)::VARCHAR AS repo,
+             'p' || user_id::VARCHAR AS path,
+             event_id + 1 AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             coalesce(props, '') AS content
+      FROM events),
+    live AS (
+      SELECT * FROM (
+        SELECT repo, path, lsn, op, content,
+               row_number() OVER (PARTITION BY repo, path
+                                  ORDER BY lsn DESC) AS rn
+        FROM ev)
+      WHERE rn = 1 AND op <> 'D')
+    SELECT repo, path, lsn,
+           sha256(replace(replace(content, chr(13) || chr(10), chr(10)),
+                          chr(13), chr(10))) AS sha
+    FROM live ORDER BY repo, path LIMIT 1
+    """,
+)
+def cdc_point_read(spark, sf_dir):
+    """Key-level file-skipping point lookup (LakeTable.read_point,
+    VERDICT r4 #4), ENGINE-TRUE over the shared 4-batch replay
+    (_scratch_replay4): pick the lexicographically-smallest live key
+    from the committed table, then read EXACTLY that key back through
+    the pruned path — one bucket via the hash, then only the files
+    whose snapshot-recorded (repo, path) bounds can contain the key
+    (the Iceberg manifest-bounds shape). The oracle recomputes the
+    same key's max-LSN winner from the raw changelog. Registered past
+    the driver's 50-slot window; tests/test_oracle_gate.py verifies
+    it per commit."""
+    table, _ = _scratch_replay4(spark, sf_dir)
+    k = (
+        table.read()
+        .select("repo", "path")
+        .orderBy("repo", "path")
+        .limit(1)
+        .collect()[0]
+    )
+    return table.read_point(k["repo"], k["path"], include_system=True).select(
+        "repo", "path",
+        F.col("_lsn").alias("lsn"),
+        sha_hex(F.col("_content_sha")).alias("sha"),
+    )
+
+
 _QUERYSQL = (
     "SELECT o_orderpriority, count(*) AS n_orders, "
     "min(o_orderkey) AS first_key, max(o_orderkey) AS last_key "
@@ -1282,6 +1331,11 @@ _FRONT = [
 _BACK = [
     "cdc_skew_approx", "dx_constant_column", "dx_multi_table_union",
     "rel_topk", "rel_set_except", "rel_semi_join",
+    # r5 addition — NEW keys must enter past the driver's 50-slot
+    # window (VERDICT r4 #3: the recorded-50 ordering is load-bearing);
+    # tests/test_oracle_gate.py hash-verifies everything back here on
+    # every pytest run, so the slot placement costs no coverage.
+    "cdc_point_read",
 ]
 
 
