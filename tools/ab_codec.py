@@ -84,7 +84,14 @@ def main() -> int:
     bs.N_KEYS = int(os.environ["DX_SCALE_KEYS"])
     if not (args.keep_log and os.path.exists(bs.LOG)):
         log(f"[ab_codec] generating changelog: {bs.N_KEYS} keys")
-        bs.generate()
+        # subprocess so the generator JVM exits before measurement
+        # starts (in-process bs.generate() leaves a ~33 GB py4j JVM
+        # resident for the whole sweep)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "bench_scaling.py"), "--generate"],
+            cwd=REPO, check=True,
+        )
 
     rounds: list[dict] = []
     for r in range(args.rounds):

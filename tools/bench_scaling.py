@@ -134,9 +134,18 @@ def main() -> int:
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--generate":
+        # subprocess-friendly: the generator JVM exits with this
+        # process instead of lingering (33 GB RSS) in an importing
+        # driver like tools/ab_codec.py for the whole sweep
+        log(f"[scaling] generating changelog: {N_KEYS} keys")
+        generate()
+        return 0
 
-    log(f"[scaling] generating changelog: {N_KEYS} keys")
-    generate()
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--generate"],
+        cwd=REPO, check=True,
+    )
     levels = sorted({c for p in PAIRS for c in p})
     results = {}
     for cpus in levels:

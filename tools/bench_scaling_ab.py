@@ -205,7 +205,12 @@ def main() -> int:
     bs.N_KEYS = int(os.environ["DX_SCALE_KEYS"])
     if not (args.keep_log and os.path.exists(bs.LOG)):
         log(f"[ab] generating changelog: {bs.N_KEYS} keys")
-        bs.generate()
+        # subprocess so the generator JVM exits before measurement
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "bench_scaling.py"), "--generate"],
+            cwd=REPO, check=True,
+        )
     os.environ["DX_AB_REPS"] = str(args.reps)
 
     if not os.path.exists(os.path.join(REPO, "dist", "dx.zip")):
