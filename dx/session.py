@@ -8,8 +8,30 @@ Spark's task scheduler + shuffle partitions.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+# Width threshold for the zstd default below. The interleaved codec
+# sweep (BENCH/AB_CODEC.json, 3 paired rounds at 8:32 threads, 32M
+# events) showed compression is a CPU-for-bytes trade that flips sign
+# with parallelism: at 8 threads zstd costs ~18% (CPU-bound), at 32
+# threads it wins +6.6% median throughput and +0.09 median scaling
+# efficiency (3/3 rounds) because the shared memory bus / disk is the
+# binding constraint. On a real cluster the analogous constraint is
+# network + disk bytes, where zstd-for-shuffle is the standard choice.
+_WIDE_CODEC_CORES = 16
+
+
+def _master_cores(master: str) -> int | None:
+    """Best-effort total core count from a master URL (None if unknown)."""
+    m = re.fullmatch(r"local\[(\*|\d+)\]", master)
+    if m:
+        return (os.cpu_count() or 8) if m.group(1) == "*" else int(m.group(1))
+    m = re.fullmatch(r"local-cluster\[(\d+),(\d+),\d+\]", master)
+    if m:
+        return int(m.group(1)) * int(m.group(2))
+    return None
 
 
 def get_spark(
@@ -57,7 +79,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # snappy parquet, vectorized reader are Spark defaults; keep them.
         .config("spark.driver.memory", os.environ.get("DX_DRIVER_MEM", "48g"))
         # Throughput collector for a batch-replay workload: interleaved
         # A/B probes (BENCH/conf_probe.json, two independent sessions)
@@ -69,6 +90,19 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    # Width-aware codec default: zstd for shuffle/spill/broadcast AND
+    # parquet writes at wide parallelism (>= _WIDE_CODEC_CORES cores),
+    # stock lz4/snappy below it. Measured both ways in one window
+    # (BENCH/AB_CODEC.json): zstd loses at 8 threads, wins at 32 — the
+    # crossover is where shared-bus bytes, not CPU, bound throughput.
+    # extra_conf below still overrides (tools/ab_codec.py pins codecs
+    # explicitly so A/Bs stay default-independent).
+    cores = _master_cores(master)
+    if cores is not None and cores >= _WIDE_CODEC_CORES:
+        builder = (
+            builder.config("spark.io.compression.codec", "zstd")
+            .config("spark.sql.parquet.compression.codec", "zstd")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -312,3 +312,21 @@ def test_empty_segment_metadata_only_commit(spark, tmp_path):
     # idempotent: re-applying the same empty window is a skip
     again = eng.run_batch(head, head + 500)
     assert again[0].skipped
+
+
+def test_master_cores_and_wide_codec_threshold():
+    """Width-aware codec default (BENCH/AB_CODEC.json): zstd at >=16
+    cores, stock below — the sweep measured zstd losing at 8 threads
+    (CPU-bound) and winning at 32 (bus-bound)."""
+    from dx.session import _WIDE_CODEC_CORES, _master_cores
+
+    assert _master_cores("local[8]") == 8
+    assert _master_cores("local[32]") == 32
+    assert _master_cores("local[*]") >= 1
+    assert _master_cores("local-cluster[8,4,6144]") == 32
+    assert _master_cores("spark://host:7077") is None
+    assert _master_cores("yarn") is None
+    # the measured crossover sits between the 8-loss and the 32-win
+    assert 8 < _WIDE_CODEC_CORES <= 32
+    assert _master_cores("local[8]") < _WIDE_CODEC_CORES
+    assert _master_cores("local[32]") >= _WIDE_CODEC_CORES

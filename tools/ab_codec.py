@@ -41,10 +41,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("DX_SCALE_KEYS", "8000000")
 import bench_scaling as bs  # noqa: E402
 
+# Every config pins BOTH codecs explicitly: dx.session.get_spark now
+# defaults to zstd at >=16 cores (the adoption this tool measured), so
+# "base" must spell out the stock lz4/snappy to stay an honest control.
 CONFIGS: dict[str, dict[str, str]] = {
-    "base": {},
-    "zstd_io": {"DX_IO_CODEC": "zstd"},
+    "base": {
+        "DX_IO_CODEC": "lz4",
+        "DX_EXTRA_CONF": "spark.sql.parquet.compression.codec=snappy",
+    },
+    "zstd_io": {
+        "DX_IO_CODEC": "zstd",
+        "DX_EXTRA_CONF": "spark.sql.parquet.compression.codec=snappy",
+    },
     "zstd_parquet": {
+        "DX_IO_CODEC": "lz4",
         "DX_EXTRA_CONF": "spark.sql.parquet.compression.codec=zstd",
     },
     "zstd_both": {
