@@ -34,6 +34,18 @@ def _master_cores(master: str) -> int | None:
     return None
 
 
+def _use_wide_codec(master: str) -> bool:
+    """Decide the zstd default. DX_WIDE_CODEC: "auto" (default,
+    width-decided at _WIDE_CODEC_CORES) | "on" | "off" — the explicit
+    switch exists so interleaved A/Bs can hold everything but the
+    codec constant without editing code."""
+    wide = os.environ.get("DX_WIDE_CODEC", "auto").lower()
+    if wide == "auto":
+        cores = _master_cores(master)
+        return cores is not None and cores >= _WIDE_CODEC_CORES
+    return wide in ("on", "1", "true", "zstd")
+
+
 def get_spark(
     app_name: str = "dx-cdc",
     master: str | None = None,
@@ -97,8 +109,7 @@ def get_spark(
     # crossover is where shared-bus bytes, not CPU, bound throughput.
     # extra_conf below still overrides (tools/ab_codec.py pins codecs
     # explicitly so A/Bs stay default-independent).
-    cores = _master_cores(master)
-    if cores is not None and cores >= _WIDE_CODEC_CORES:
+    if _use_wide_codec(master):
         builder = (
             builder.config("spark.io.compression.codec", "zstd")
             .config("spark.sql.parquet.compression.codec", "zstd")

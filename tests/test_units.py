@@ -330,3 +330,17 @@ def test_master_cores_and_wide_codec_threshold():
     assert 8 < _WIDE_CODEC_CORES <= 32
     assert _master_cores("local[8]") < _WIDE_CODEC_CORES
     assert _master_cores("local[32]") >= _WIDE_CODEC_CORES
+
+
+def test_wide_codec_env_override(monkeypatch):
+    """DX_WIDE_CODEC=on/off overrides the width decision (A/B switch)."""
+    from dx.session import _use_wide_codec
+
+    monkeypatch.delenv("DX_WIDE_CODEC", raising=False)
+    assert _use_wide_codec("local[32]") is True
+    assert _use_wide_codec("local[8]") is False
+    assert _use_wide_codec("spark://host:7077") is False  # unknown width
+    monkeypatch.setenv("DX_WIDE_CODEC", "on")
+    assert _use_wide_codec("local[8]") is True
+    monkeypatch.setenv("DX_WIDE_CODEC", "off")
+    assert _use_wide_codec("local[32]") is False
