@@ -112,9 +112,10 @@ def run_threads_level(cpus: int) -> dict:
 
 def run_exec_level(n_exec: int, reps: int) -> dict:
     cores = n_exec * CORES_PER_EXEC
+    master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
     cmd = [
         "taskset", "-c", f"0-{cores - 1}", SPARK_SUBMIT,
-        "--master", f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]",
+        "--master", master,
         "--conf", f"spark.executor.memory={EXEC_MEM_MB}m",
         "--conf", "spark.driver.memory=8g",
         # Parity with dx.session defaults (the worker uses the
@@ -126,6 +127,19 @@ def run_exec_level(n_exec: int, reps: int) -> dict:
         "--conf", "spark.sql.shuffle.partitions=32",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
+    ]
+    # Mirror the shipped width-aware codec default (dx/session.py):
+    # the submit-provided session bypasses get_spark, so without this
+    # the executors mode would measure a config no user of the engine
+    # actually runs. DX_WIDE_CODEC=on|off still forces either side.
+    from dx.session import _use_wide_codec
+
+    if _use_wide_codec(master):
+        cmd += [
+            "--conf", "spark.io.compression.codec=zstd",
+            "--conf", "spark.sql.parquet.compression.codec=zstd",
+        ]
+    cmd += [
         "--py-files", os.path.join(REPO, "dist", "dx.zip"),
         os.path.abspath(__file__), "--worker-exec", str(n_exec),
         "--reps", str(reps),
