@@ -12,14 +12,22 @@ import re
 
 from pyspark.sql import SparkSession
 
-# Width threshold for the zstd default below. The interleaved codec
-# sweep (BENCH/AB_CODEC.json, 3 paired rounds at 8:32 threads, 32M
-# events) showed compression is a CPU-for-bytes trade that flips sign
-# with parallelism: at 8 threads zstd costs ~18% (CPU-bound), at 32
-# threads it wins +6.6% median throughput and +0.09 median scaling
-# efficiency (3/3 rounds) because the shared memory bus / disk is the
-# binding constraint. On a real cluster the analogous constraint is
-# network + disk bytes, where zstd-for-shuffle is the standard choice.
+# Width threshold for the zstd default below, in PER-JVM cores. The
+# interleaved codec sweep (BENCH/AB_CODEC.json, 3 paired rounds at
+# 8:32 threads, 32M events) showed compression is a CPU-for-bytes
+# trade that flips sign with in-JVM parallelism: at 8 threads zstd
+# costs ~18% (CPU-bound), at 32 threads in ONE JVM it wins +6.6%
+# median throughput and +0.09 median scaling efficiency (3/3 rounds)
+# because the shared memory bus / disk is the binding constraint.
+# The width that predicts the win is concurrency per JVM, not
+# cluster-total cores: the same 32 cores as 8 × 4-core executor JVMs
+# (local-cluster[8,4]) measured zstd HALVING the hi side in
+# back-to-back interleaved runs (best measured rep 23.7s zstd vs
+# 15.7s stock same session, 12.1s stock in r4 —
+# BENCH/scaling_ab_e28_r5{,_off}.json): a 4-core JVM is CPU-bound on
+# compression long before its share of the bus saturates. Real
+# clusters run small-core executors, so they default stock unless
+# the operator opts in (DX_WIDE_CODEC=on).
 _WIDE_CODEC_CORES = 16
 
 
@@ -34,14 +42,23 @@ def _master_cores(master: str) -> int | None:
     return None
 
 
+def _jvm_cores(master: str) -> int | None:
+    """Concurrent task slots per JVM (None if unknown). local[N] is one
+    JVM with N slots; local-cluster[n,c,m] is n JVMs with c slots each."""
+    m = re.fullmatch(r"local-cluster\[(\d+),(\d+),\d+\]", master)
+    if m:
+        return int(m.group(2))
+    return _master_cores(master)
+
+
 def _use_wide_codec(master: str) -> bool:
     """Decide the zstd default. DX_WIDE_CODEC: "auto" (default,
-    width-decided at _WIDE_CODEC_CORES) | "on" | "off" — the explicit
-    switch exists so interleaved A/Bs can hold everything but the
-    codec constant without editing code."""
+    per-JVM-width-decided at _WIDE_CODEC_CORES) | "on" | "off" — the
+    explicit switch exists so interleaved A/Bs can hold everything but
+    the codec constant without editing code."""
     wide = os.environ.get("DX_WIDE_CODEC", "auto").lower()
     if wide == "auto":
-        cores = _master_cores(master)
+        cores = _jvm_cores(master)
         return cores is not None and cores >= _WIDE_CODEC_CORES
     return wide in ("on", "1", "true", "zstd")
 
@@ -103,9 +120,11 @@ def get_spark(
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     # Width-aware codec default: zstd for shuffle/spill/broadcast AND
-    # parquet writes at wide parallelism (>= _WIDE_CODEC_CORES cores),
-    # stock lz4/snappy below it. Measured both ways in one window
-    # (BENCH/AB_CODEC.json): zstd loses at 8 threads, wins at 32 — the
+    # parquet writes at wide PER-JVM parallelism (>= _WIDE_CODEC_CORES
+    # slots in one JVM), stock lz4/snappy below it. Measured both ways
+    # in one window, both topologies (BENCH/AB_CODEC.json,
+    # scaling_ab_e28_r5{,_off}.json): zstd loses at 8 threads and at
+    # 8 x 4-core executor JVMs, wins at 32 threads in one JVM — the
     # crossover is where shared-bus bytes, not CPU, bound throughput.
     # extra_conf below still overrides (tools/ab_codec.py pins codecs
     # explicitly so A/Bs stay default-independent).

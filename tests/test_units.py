@@ -315,10 +315,12 @@ def test_empty_segment_metadata_only_commit(spark, tmp_path):
 
 
 def test_master_cores_and_wide_codec_threshold():
-    """Width-aware codec default (BENCH/AB_CODEC.json): zstd at >=16
-    cores, stock below — the sweep measured zstd losing at 8 threads
-    (CPU-bound) and winning at 32 (bus-bound)."""
-    from dx.session import _WIDE_CODEC_CORES, _master_cores
+    """Width-aware codec default: zstd at >=16 cores PER JVM, stock
+    below. The sweep (BENCH/AB_CODEC.json) measured zstd losing at 8
+    threads (CPU-bound) and winning at 32 threads in one JVM
+    (bus-bound); the executors A/B (scaling_ab_e28_r5{,_off}.json)
+    measured zstd halving 8 x 4-core JVMs — per-JVM width decides."""
+    from dx.session import _WIDE_CODEC_CORES, _jvm_cores, _master_cores
 
     assert _master_cores("local[8]") == 8
     assert _master_cores("local[32]") == 32
@@ -326,10 +328,15 @@ def test_master_cores_and_wide_codec_threshold():
     assert _master_cores("local-cluster[8,4,6144]") == 32
     assert _master_cores("spark://host:7077") is None
     assert _master_cores("yarn") is None
+    # per-JVM slots: one JVM for local[N], c per JVM for local-cluster
+    assert _jvm_cores("local[32]") == 32
+    assert _jvm_cores("local-cluster[8,4,6144]") == 4
+    assert _jvm_cores("local-cluster[2,16,6144]") == 16
+    assert _jvm_cores("spark://host:7077") is None
     # the measured crossover sits between the 8-loss and the 32-win
     assert 8 < _WIDE_CODEC_CORES <= 32
-    assert _master_cores("local[8]") < _WIDE_CODEC_CORES
-    assert _master_cores("local[32]") >= _WIDE_CODEC_CORES
+    assert _jvm_cores("local[8]") < _WIDE_CODEC_CORES
+    assert _jvm_cores("local[32]") >= _WIDE_CODEC_CORES
 
 
 def test_wide_codec_env_override(monkeypatch):
@@ -339,6 +346,10 @@ def test_wide_codec_env_override(monkeypatch):
     monkeypatch.delenv("DX_WIDE_CODEC", raising=False)
     assert _use_wide_codec("local[32]") is True
     assert _use_wide_codec("local[8]") is False
+    # 32 total cores as 4-core executor JVMs stays stock (measured:
+    # zstd halved the 8-executor side, scaling_ab_e28_r5.json)
+    assert _use_wide_codec("local-cluster[8,4,6144]") is False
+    assert _use_wide_codec("local-cluster[2,16,6144]") is True
     assert _use_wide_codec("spark://host:7077") is False  # unknown width
     monkeypatch.setenv("DX_WIDE_CODEC", "on")
     assert _use_wide_codec("local[8]") is True
