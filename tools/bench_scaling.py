@@ -109,8 +109,12 @@ def worker(cpus: int) -> None:
     n_events = changelog.count()
     head = changelog.agg(F.max("lsn")).collect()[0][0]
     times = []
+    # DX_LAKE_WD relocates the lake WRITE target (tools/ab_storage.py
+    # points it at tmpfs to attribute disk- vs bus-bound wall time;
+    # attribution-only — a tmpfs table is not durable).
+    lake_wd = os.environ.get("DX_LAKE_WD", WD)
     for rep in range(REPS):
-        lake_dir = os.path.join(WD, f"lake_{cpus}_{rep}")
+        lake_dir = os.path.join(lake_wd, f"lake_{cpus}_{rep}")
         shutil.rmtree(lake_dir, ignore_errors=True)
         os.sync()  # flush prior rep's writeback so it can't bleed into timing
         time.sleep(2)
