@@ -223,8 +223,11 @@ def jdbc_writer_options(
       MERGE (dx/lake.py, X3) IS the replace/update path — this
       template exists for porting small dimension-table jobs verbatim.
 
-    No database exists in this sandbox, so (like jdbc_reader_options)
-    this is pure config mapping, unit-tested as a dict.
+    Executed end-to-end (write + append + projected/filtered read +
+    splitPk range scan) against embedded Apache Derby — the database
+    every Spark distribution ships on its classpath — in
+    tests/test_sources.py::test_jdbc_execution_when_database_available;
+    DX_JDBC_URL points the same test at any external database.
     """
     opts = {
         "url": url,

@@ -100,30 +100,60 @@ def test_skip_header_strict_datax_semantics(spark, tmp_path):
 
 
 @pytest.mark.jdbc
-def test_jdbc_execution_when_database_available(spark):
-    """S1 honesty row (VERDICT r2 #8): the config mapping is fully
-    unit-tested above, but EXECUTING a JDBC scan/write needs a real
-    database, which this sandbox does not have. The day the
-    environment provides one (export DX_JDBC_URL=jdbc:...; driver jar
-    on the Spark classpath), this test self-verifies the path
-    end-to-end: round-trips a 3-row frame through the database with
-    the same option dicts the job runner builds."""
+def test_jdbc_execution_when_database_available(spark, tmp_path):
+    """S1 execution (VERDICT r2 #8): the config mapping is fully
+    unit-tested above; THIS test executes the JDBC scan/write path
+    against a real database. DX_JDBC_URL points it at an external one;
+    without it, it uses Apache Derby embedded — the SQL database every
+    Spark distribution ships on its classpath (jars/derby-*.jar) — so
+    the path self-verifies end-to-end in this sandbox too: writer
+    truncate-mode create, insert-mode batched append, projected +
+    filtered scan, and the splitPk partitioned range scan (R1).
+
+    Identifier note: DataX interpolates column config entries VERBATIM
+    into the generated SELECT, so against a case-sensitive database
+    the user writes them quoted — Spark's JDBC writer creates
+    case-sensitive (quoted, lower-case) columns, and the unquoted form
+    would resolve to the upper-cased identifier and miss."""
     import os as _os
+    from glob import glob as _glob
 
     url = _os.environ.get("DX_JDBC_URL")
     if not url:
-        pytest.skip(
-            "no DX_JDBC_URL in environment — JDBC execution needs a "
-            "reachable database (config mapping covered in "
-            "test_jdbc_option_mapping / test_jdbc_writer_options_mapping)"
+        spark_home = _os.environ.get("SPARK_HOME", "/opt/spark")
+        if not _glob(_os.path.join(spark_home, "jars", "derby-*.jar")):
+            pytest.skip(
+                "no DX_JDBC_URL and no embedded Derby on the Spark "
+                "classpath — JDBC execution needs a reachable database"
+            )
+        # keep derby.log inside the pytest tmp dir (read at Derby boot)
+        spark.sparkContext._jvm.java.lang.System.setProperty(
+            "derby.system.home", str(tmp_path)
         )
+        url = f"jdbc:derby:{tmp_path}/dxdb;create=true"
     from dx.sources import jdbc_writer_options
 
     df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
     plan = jdbc_writer_options(url, "dx_jdbc_probe", ["id", "v"], "truncate")
     df.write.format("jdbc").options(**plan["options"]).mode(plan["mode"]).save()
-    opts = jdbc_reader_options(url, table="dx_jdbc_probe", columns=["id", "v"])
+    # W1 insert mode: batched INSERT (append) through the same plan shape
+    plan = jdbc_writer_options(url, "dx_jdbc_probe", ["id", "v"], "insert")
+    spark.createDataFrame([(4, "d")], "id long, v string").write.format(
+        "jdbc"
+    ).options(**plan["options"]).mode(plan["mode"]).save()
+    # P1/P2 against the live database: projection + where in the scan SQL
+    opts = jdbc_reader_options(
+        url, table="dx_jdbc_probe", columns=['"id"', '"v"'], where='"id" > 1'
+    )
     back = spark.read.format("jdbc").options(**opts).load()
     assert sorted((r["id"], r["v"]) for r in back.collect()) == [
-        (1, "a"), (2, "b"), (3, "c")
+        (2, "b"), (3, "c"), (4, "d")
     ]
+    # R1 splitPk: one WHERE-range query per Spark partition
+    opts = jdbc_reader_options(
+        url, table="dx_jdbc_probe", columns=['"id"', '"v"'],
+        split_pk='"id"', split_bounds=(1, 4), num_partitions=3,
+    )
+    ranged = spark.read.format("jdbc").options(**opts).load()
+    assert ranged.rdd.getNumPartitions() == 3
+    assert sorted(r["id"] for r in ranged.collect()) == [1, 2, 3, 4]
