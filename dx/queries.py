@@ -1249,6 +1249,60 @@ def dx_querysql(spark, sf_dir):
     return read_query_sql(spark, _QUERYSQL)
 
 
+@query(
+    "dx_jdbc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 512
+    """,
+)
+def dx_jdbc_roundtrip(spark, sf_dir):
+    """S1/W1 EXECUTED against a live SQL database — embedded Apache
+    Derby, which every Spark distribution carries on its classpath:
+    stage a bounded orders slice (o_orderkey <= 4096, ~1k rows at any
+    SF) into Derby via the W1 truncate-mode write plan, then read it
+    back through jdbc_reader_options' generated scan SQL with a
+    quoted projection and a WHERE the DATABASE evaluates (<= 512, a
+    strict subset of the staged slice — so the filter provably ran
+    DB-side, not on leftover Spark state). The oracle applies the
+    same projection+filter to the parquet directly; the value hash
+    proves the JDBC write→scan round-trip is type- and
+    value-faithful. Column configs are interpolated verbatim into the
+    scan SQL (DataX †CommonRdbmsReader semantics), hence the quoted
+    identifiers against Spark's case-sensitive created columns.
+    Registered past the driver's 50-slot window (VERDICT r4 #3);
+    tests/test_oracle_gate.py hash-verifies it per commit."""
+    import shutil
+
+    from dx.sources import jdbc_reader_options, jdbc_writer_options
+
+    scratch = os.path.abspath(os.path.join(".tmp", f"jdbc_q_{os.getpid()}"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    # pin derby.log into the scratch (read once at Derby boot)
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.system.home", scratch
+    )
+    url = f"jdbc:derby:{scratch}/db;create=true"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    staged = (
+        _t(spark, sf_dir, "orders")
+        .select(*cols)
+        .where(F.col("o_orderkey") <= 4096)
+        .coalesce(1)  # one embedded-DB connection; the slice is ~1k rows
+    )
+    plan = jdbc_writer_options(url, "orders_probe", cols, "truncate")
+    staged.write.format("jdbc").options(**plan["options"]).mode(
+        plan["mode"]
+    ).save()
+    opts = jdbc_reader_options(
+        url,
+        table="orders_probe",
+        columns=[f'"{c}"' for c in cols],
+        where='"o_orderkey" <= 512',
+    )
+    return spark.read.format("jdbc").options(**opts).load()
+
+
 @query("cdc_skew_approx")  # rows-only: HLL estimates are engine-specific
 def cdc_skew_approx(spark, sf_dir):
     """R4/§2.7 approx-sketch skew profile: approx_count_distinct
@@ -1331,11 +1385,12 @@ _FRONT = [
 _BACK = [
     "cdc_skew_approx", "dx_constant_column", "dx_multi_table_union",
     "rel_topk", "rel_set_except", "rel_semi_join",
-    # r5 addition — NEW keys must enter past the driver's 50-slot
+    # r5 additions — NEW keys must enter past the driver's 50-slot
     # window (VERDICT r4 #3: the recorded-50 ordering is load-bearing);
     # tests/test_oracle_gate.py hash-verifies everything back here on
     # every pytest run, so the slot placement costs no coverage.
     "cdc_point_read",
+    "dx_jdbc_roundtrip",
 ]
 
 
