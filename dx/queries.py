@@ -1303,6 +1303,52 @@ def dx_jdbc_roundtrip(spark, sf_dir):
     return spark.read.format("jdbc").options(**opts).load()
 
 
+@query(
+    "dx_kv_range_scan",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id >= 100 AND doc_id < 400 AND n_chars >= 200
+    """,
+)
+def dx_kv_range_scan(spark, sf_dir):
+    """S4 keyed/wide-column scan EXECUTED against a live keyed store
+    (dx/kv.py over stdlib sqlite3 — the S4 analogue of S1's embedded
+    Derby): stage the documents table keyed by doc_id, then read it
+    back through the range-split connector — exact-quantile key
+    splits, one store connection per task, projection + the verbatim
+    store-dialect filter pushed into the scan, and a [lo, hi) key
+    range bounding the whole read (†hbase11xreader rowkey-range /
+    †mongodbreader _id-range + query shape, SURVEY §2.2 S4). The
+    oracle applies the identical projection/range/filter to the
+    parquet; the hash proves the connector is value-faithful.
+    Registered past the driver's 50-slot window (VERDICT r4 #3);
+    tests/test_oracle_gate.py hash-verifies it per commit."""
+    import shutil
+
+    from dx.kv import read_kv, stage_kv
+
+    scratch = os.path.abspath(os.path.join(".tmp", f"kv_q_{os.getpid()}"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    db = os.path.join(scratch, "docs.db")
+    pdf = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .toPandas()  # fixture staging only; production scans the live store
+    )
+    stage_kv(db, "documents", pdf, key_col="doc_id")
+    return read_kv(
+        spark,
+        db,
+        table="documents",
+        key_col="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        key_range=(100, 400),
+        where="n_chars >= 200",
+        n_splits=8,
+    )
+
+
 @query("cdc_skew_approx")  # rows-only: HLL estimates are engine-specific
 def cdc_skew_approx(spark, sf_dir):
     """R4/§2.7 approx-sketch skew profile: approx_count_distinct
@@ -1391,6 +1437,7 @@ _BACK = [
     # every pytest run, so the slot placement costs no coverage.
     "cdc_point_read",
     "dx_jdbc_roundtrip",
+    "dx_kv_range_scan",
 ]
 
 
