@@ -172,10 +172,109 @@ def read_kv(
     return ranges_df.mapInPandas(scan, schema)
 
 
-def stage_kv(db_path: str, table: str, pdf: pd.DataFrame, key_col: str) -> None:
-    """Stage a pandas frame as a keyed store table (PRIMARY KEY on
-    ``key_col``) — test/fixture scale only; production scans an
-    EXISTING store. Replaces the table if present."""
+def read_kv_versions(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    key_col: str,
+    version_col: str,
+    columns: list[str],
+    max_versions: int = 1,
+    key_range: tuple | None = None,
+    n_splits: int = 8,
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """†hbase11xreader ``multiVersionFixedColumn`` mode: the newest
+    ``max_versions`` versions of each key's fixed columns, emitted as
+    TALL rows ``(key, cell, version, value)`` — one row per surviving
+    (key, column, version) cell, values stringified, exactly the
+    4-tuple shape DataX emits for versioned HBase cells. The
+    latest-N cut runs INSIDE the store (a windowed scan over only the
+    task's key range), so superseded versions never reach Spark.
+    ``version_col`` must be unique per key (HBase cell timestamps);
+    ties would make the cut order-dependent in any engine."""
+    decl = _columns(db_path, table)
+    missing = [c for c in [key_col, version_col, *columns] if c not in decl]
+    if missing:
+        raise ValueError(f"unknown kv columns: {missing}")
+    key_t, key_pd = _TYPES.get(decl[key_col], (T.StringType(), None))
+    ver_t, ver_pd = _TYPES.get(decl[version_col], (T.LongType(), "Int64"))
+    schema = T.StructType(
+        [
+            T.StructField(key_col, key_t, True),
+            T.StructField("cell", T.StringType(), True),
+            T.StructField("version", ver_t, True),
+            T.StructField("value", T.StringType(), True),
+        ]
+    )
+    splits = kv_splits(db_path, table, key_col, n_splits, key_range)
+    sel = ", ".join([key_col, version_col, *columns])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        conn = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+        try:
+            for ranges in batches:
+                for lo, hi in zip(ranges["lo"], ranges["hi"]):
+                    pred, args = [], []
+                    if not pd.isna(lo):
+                        pred.append(f"{key_col} >= ?")
+                        args.append(lo.item() if hasattr(lo, "item") else lo)
+                    if not pd.isna(hi):
+                        pred.append(f"{key_col} < ?")
+                        args.append(hi.item() if hasattr(hi, "item") else hi)
+                    inner = f"SELECT {sel}, row_number() OVER (PARTITION BY " \
+                            f"{key_col} ORDER BY {version_col} DESC) AS _rn " \
+                            f"FROM {table}"
+                    if pred:
+                        inner += " WHERE " + " AND ".join(pred)
+                    cur = conn.execute(
+                        f"SELECT {sel} FROM ({inner}) WHERE _rn <= ?",
+                        args + [max_versions],
+                    )
+                    while True:
+                        rows = cur.fetchmany(batch_rows)
+                        if not rows:
+                            break
+                        wide = pd.DataFrame.from_records(
+                            rows, columns=[key_col, version_col, *columns]
+                        )
+                        tall = wide.melt(
+                            id_vars=[key_col, version_col],
+                            value_vars=columns,
+                            var_name="cell",
+                            value_name="value",
+                        ).rename(columns={version_col: "version"})
+                        tall["value"] = tall["value"].map(
+                            lambda v: None if pd.isna(v) else str(v)
+                        )
+                        if key_pd:
+                            tall[key_col] = tall[key_col].astype(key_pd)
+                        if ver_pd:
+                            tall["version"] = tall["version"].astype(ver_pd)
+                        yield tall
+        finally:
+            conn.close()
+
+    ranges_schema = T.StructType(
+        [T.StructField("lo", key_t, True), T.StructField("hi", key_t, True)]
+    )
+    ranges_df = spark.createDataFrame(splits, ranges_schema)
+    if len(splits) > 1:
+        ranges_df = ranges_df.repartitionByRange(len(splits), F.col("lo"))
+    return ranges_df.mapInPandas(scan, schema)
+
+
+def stage_kv(
+    db_path: str,
+    table: str,
+    pdf: pd.DataFrame,
+    key_col: str | tuple | None,
+) -> None:
+    """Stage a pandas frame as a keyed store table — test/fixture
+    scale only; production scans an EXISTING store. ``key_col`` is the
+    PRIMARY KEY: a single column, a tuple for composite keys
+    (versioned tables key on (key, version)), or None for no key.
+    Replaces the table if present."""
 
     def decl(col: str) -> str:
         kind = str(pdf[col].dtype).lower()
@@ -191,9 +290,12 @@ def stage_kv(db_path: str, table: str, pdf: pd.DataFrame, key_col: str) -> None:
     with sqlite3.connect(db_path) as conn:
         conn.execute(f"DROP TABLE IF EXISTS {table}")
         col_sql = [
-            f"{c} {decl(c)}{' PRIMARY KEY' if c == key_col else ''}"
+            f"{c} {decl(c)}"
+            f"{' PRIMARY KEY' if isinstance(key_col, str) and c == key_col else ''}"
             for c in pdf.columns
         ]
+        if isinstance(key_col, tuple):
+            col_sql.append(f"PRIMARY KEY ({', '.join(key_col)})")
         conn.execute(f"CREATE TABLE {table} ({', '.join(col_sql)})")
         conn.executemany(
             f"INSERT INTO {table} VALUES ({', '.join('?' * len(pdf.columns))})",

@@ -1349,6 +1349,62 @@ def dx_kv_range_scan(spark, sf_dir):
     )
 
 
+@query(
+    "dx_kv_multiversion",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS version, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id >= 10 AND user_id < 60
+    )
+    SELECT user_id, 'event_type' AS cell, version, event_type AS value
+    FROM v WHERE rn <= 2
+    UNION ALL
+    SELECT user_id, 'props' AS cell, version, props AS value
+    FROM v WHERE rn <= 2
+    """,
+)
+def dx_kv_multiversion(spark, sf_dir):
+    """S4 versioned-cell mode EXECUTED (†hbase11xreader
+    multiVersionFixedColumn): stage events keyed by (user_id,
+    event_id) into the live keyed store, read back the newest 2
+    versions of each key's fixed columns as tall (key, cell, version,
+    value) rows — the latest-N window cut runs INSIDE the store over
+    only each task's key range, and the read's [10, 60) key range is
+    a strict subset of the staged [0, 100) slice so the range
+    predicate provably applied store-side. The oracle computes the
+    identical window + unpivot on the parquet. Registered past the
+    driver's 50-slot window; tests/test_oracle_gate.py verifies per
+    commit."""
+    import shutil
+
+    from dx.kv import read_kv_versions, stage_kv
+
+    scratch = os.path.abspath(os.path.join(".tmp", f"kvmv_q_{os.getpid()}"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    db = os.path.join(scratch, "cells.db")
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "props")
+        .where(F.col("user_id") < 100)
+        .toPandas()  # fixture staging only; production scans the live store
+    )
+    stage_kv(db, "cells", pdf, key_col=("user_id", "event_id"))
+    return read_kv_versions(
+        spark,
+        db,
+        "cells",
+        key_col="user_id",
+        version_col="event_id",
+        columns=["event_type", "props"],
+        max_versions=2,
+        key_range=(10, 60),
+        n_splits=4,
+    )
+
+
 @query("cdc_skew_approx")  # rows-only: HLL estimates are engine-specific
 def cdc_skew_approx(spark, sf_dir):
     """R4/§2.7 approx-sketch skew profile: approx_count_distinct
@@ -1438,6 +1494,7 @@ _BACK = [
     "cdc_point_read",
     "dx_jdbc_roundtrip",
     "dx_kv_range_scan",
+    "dx_kv_multiversion",
 ]
 
 

@@ -104,3 +104,43 @@ def test_kv_filter_reduces_bytes_scanned(kv_db):
         ).fetchall()
     assert any("PRIMARY KEY" in str(row) or "INDEX" in str(row).upper()
                for row in plan)
+
+
+def test_kv_multi_version_latest_n(spark, tmp_path):
+    """hbase multiVersionFixedColumn shape: newest N versions per key,
+    tall (key, cell, version, value) rows, latest-N cut store-side."""
+    path = str(tmp_path / "mv.db")
+    rows = [
+        {"k": k, "ver": ver, "status": f"s{k}-{ver}", "owner": f"o{ver}"}
+        for k in range(20)
+        for ver in (1, 2, 3)
+    ]
+    stage_kv(path, "cells", pd.DataFrame(rows), key_col=("k", "ver"))
+    from dx.kv import read_kv_versions
+
+    df = read_kv_versions(
+        spark, path, "cells", key_col="k", version_col="ver",
+        columns=["status", "owner"], max_versions=2, n_splits=3,
+    )
+    assert df.columns == ["k", "cell", "version", "value"]
+    got = df.collect()
+    # 20 keys x 2 cells x 2 surviving versions; version 1 cut store-side
+    assert len(got) == 80
+    assert set(r["version"] for r in got) == {2, 3}
+    assert {r["value"] for r in got if r["k"] == 5 and r["cell"] == "status"} \
+        == {"s5-2", "s5-3"}
+
+
+def test_kv_multi_version_key_range(spark, tmp_path):
+    path = str(tmp_path / "mv2.db")
+    rows = [{"k": k, "ver": v, "c": str(k * 10 + v)}
+            for k in range(10) for v in (1, 2)]
+    stage_kv(path, "cells", pd.DataFrame(rows), key_col=("k", "ver"))
+    from dx.kv import read_kv_versions
+
+    df = read_kv_versions(
+        spark, path, "cells", key_col="k", version_col="ver",
+        columns=["c"], max_versions=1, key_range=(3, 7), n_splits=2,
+    )
+    got = sorted((r["k"], r["version"], r["value"]) for r in df.collect())
+    assert got == [(k, 2, str(k * 10 + 2)) for k in range(3, 7)]
